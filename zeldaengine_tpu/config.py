@@ -1,0 +1,111 @@
+"""Engine configuration.
+
+The reference engine's compile-time ``#define`` block
+(ZeldaEngine.cpp:77-98: VIEWPORT 1920x1080, MAX_FRAMES_IN_FLIGHT 2,
+PBR_SAMPLER_NUMBER 7, MAX_DIRECTIONAL_LIGHTS_NUM 16 / POINT 512 / SPOT 16,
+SHADOWMAP_DIM 1024, feature gates) maps to a frozen, hashable dataclass:
+anything here is a *static* jit argument — changing it recompiles, exactly
+like rebuilding the C++ binary. Dynamic state (the world JSON, light values,
+camera) lives in traced arrays instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    # Viewport (ZeldaEngine.cpp:78-79)
+    width: int = 1920
+    height: int = 1080
+
+    # Shadow map (ZeldaEngine.cpp:87) and PCF kernel radius (Base.frag:67)
+    shadowmap_dim: int = 1024
+    pcf_radius: int = 2
+    pcf_scale: float = 1.5  # texel scale inside ComputePCF (Common.glsl:326)
+
+    # Light capacities (ZeldaEngine.cpp:84-86)
+    max_directional_lights: int = 16
+    max_point_lights: int = 512
+    max_spot_lights: int = 16
+
+    # PBR material texture slots (ZeldaEngine.cpp:80):
+    # basecolor, metallic, roughness, normal, AO, emissive, mask
+    pbr_sampler_number: int = 7
+
+    # Scene pool capacities (static shapes; the TPU analogue of the
+    # reference's MAX_* constants). Scenes are padded up to these.
+    max_vertices: int = 1 << 16
+    max_triangles: int = 1 << 16
+    max_instances: int = 1 << 12
+    max_materials: int = 64
+
+    # Texture pool: every 2D texture is resampled to this square size and
+    # stacked into one array ("bindless" indexing; ZeldaEngine.cpp:96 TODO).
+    texture_size: int = 256
+    # Cubemap face size; mip count derives from it.
+    cubemap_size: int = 256
+    background_size: int = 512
+
+    # Rasterizer tiling (TPU lane-aligned: last dim a multiple of 128).
+    tile_h: int = 32
+    tile_w: int = 128
+    tri_chunk: int = 256  # triangles processed per rasterizer step
+
+    # Rendering toggles (reference gates ENABLE_DEFERRED_SHADING etc.)
+    enable_deferred: bool = True
+    enable_shadow: bool = True
+    enable_skydome: bool = True
+    enable_background: bool = False
+
+    # zFar sentinel for empty depth buffer
+    depth_clear: float = 1.0
+
+    @cached_property
+    def n_tiles_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @cached_property
+    def n_tiles_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @cached_property
+    def padded_height(self) -> int:
+        return self.n_tiles_y * self.tile_h
+
+    @cached_property
+    def padded_width(self) -> int:
+        return self.n_tiles_x * self.tile_w
+
+    @cached_property
+    def cubemap_mips(self) -> int:
+        # Matches RHICreateTextureCubeResource's full mip chain:
+        # floor(log2(size)) + 1
+        return self.cubemap_size.bit_length()
+
+    @cached_property
+    def texture_mips(self) -> int:
+        return self.texture_size.bit_length()
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# A small config for tests/CI (CPU-friendly shapes).
+TEST_CONFIG = EngineConfig(
+    width=128,
+    height=128,
+    shadowmap_dim=128,
+    max_vertices=1 << 12,
+    max_triangles=1 << 12,
+    max_instances=256,
+    max_materials=8,
+    texture_size=64,
+    cubemap_size=32,
+    background_size=64,
+    tile_h=8,
+    tile_w=128,
+    tri_chunk=64,
+)
