@@ -1,0 +1,71 @@
+"""Shadow mapping: bias-matrix projection + PCF filtering.
+
+Ports Common.glsl:294-342 (BiasMat, ComputeShadowCoord, ShadowDepthProject,
+ComputePCF). The 25-tap (radius 2) PCF gather is expressed as a static
+Python loop of shifted bilinear-free taps — XLA fuses it into one pass; a
+Pallas shifted-window kernel can replace it later for the 1080p hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SHADOW_IN_FACTOR = 0.1  # ShadowDepthProject: factor when occluded (:315)
+
+
+def compute_shadow_coord(shadowmap_space: jnp.ndarray, position: jnp.ndarray):
+    """BiasMat * ShadowmapSpace * (P, 1) (Common.glsl:294-304).
+
+    BiasMat maps ndc xy [-1,1] -> uv [0,1] (z untouched).
+    Returns (..., 4) homogeneous shadow coords.
+    """
+    p = position
+    clip = (
+        p[..., 0, None] * shadowmap_space[..., :, 0]
+        + p[..., 1, None] * shadowmap_space[..., :, 1]
+        + p[..., 2, None] * shadowmap_space[..., :, 2]
+        + shadowmap_space[..., :, 3]
+    )
+    x = clip[..., 0] * 0.5 + clip[..., 3] * 0.5
+    y = clip[..., 1] * 0.5 + clip[..., 3] * 0.5
+    return jnp.stack([x, y, clip[..., 2], clip[..., 3]], -1)
+
+
+def _shadow_tap(shadowmap: jnp.ndarray, sc, offset_u, offset_v):
+    """ShadowDepthProject (Common.glsl:307-319): nearest-texel compare.
+
+    sc: (..., 4) shadow coord ALREADY divided by w (as the callers do:
+    ``ComputePCF(sp, ShadowCoord / ShadowCoord.w, 2)``).
+    Returns shadow factor 1.0 (lit) or 0.1 (occluded).
+    """
+    dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
+    u = sc[..., 0] + offset_u
+    v = sc[..., 1] + offset_v
+    # texture() on the shadow sampler: repeat addressing, nearest-equivalent
+    # (the reference samples a D32 texture; we take the nearest texel).
+    ix = jnp.mod(jnp.floor(u * dim_x).astype(jnp.int32), dim_x)
+    iy = jnp.mod(jnp.floor(v * dim_y).astype(jnp.int32), dim_y)
+    dist = shadowmap[iy, ix]
+    z = sc[..., 2]
+    w = sc[..., 3]
+    occluded = (z > -1.0) & (z < 1.0) & (w > 0.0) & (dist < z)
+    return jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
+
+
+def compute_pcf(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
+                radius: int = 2, scale: float = 1.5):
+    """ComputePCF (Common.glsl:323-342): (2r+1)^2 taps at ``scale`` texel
+    spacing, averaged. ``shadow_coord`` is the homogeneous coord (divided by
+    w here, matching the call sites Base.frag:67 / BaseLighting.frag:178)."""
+    w = shadow_coord[..., 3, None]
+    sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
+    dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
+    dx = scale / dim_x
+    dy = scale / dim_y
+    total = 0.0
+    count = 0
+    for ox in range(-radius, radius + 1):
+        for oy in range(-radius, radius + 1):
+            total = total + _shadow_tap(shadowmap, sc, dx * ox, dy * oy)
+            count += 1
+    return total / count

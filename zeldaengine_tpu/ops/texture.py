@@ -1,0 +1,176 @@
+"""Texture storage and sampling.
+
+Replaces the reference's texture factory + samplers
+(RHICreateTextureResource ZeldaEngine.cpp:5855, RHIGenerateMipmaps :6348,
+RHICreateSampler :6523 — repeat addressing, trilinear mips).
+
+TPU-native design: all 2D textures of a pool share one square size and live
+in a single **mip atlas** array of shape (N, H, 2W, C). Level 0 occupies
+x in [0, W); level k >= 1 occupies x in [W * (2 - 2^(1-k)), ...), y from 0.
+Mip offsets are static constants, so a trilinear sample with per-pixel LOD
+is pure index arithmetic + one batched gather per tap — no per-level
+control flow. Cubemaps are 6 consecutive layers in their own pool.
+
+Mip generation is 2x2 box filtering (the practical equivalent of the
+reference's repeated vkCmdBlitImage linear-filter chain).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def mip_count(size: int) -> int:
+    return int(size).bit_length()
+
+
+def mip_offset_x(level: int, base: int) -> int:
+    """X offset of a mip level inside the (H, 2W) atlas."""
+    if level == 0:
+        return 0
+    return int(base * (2.0 - 2.0 ** (1 - level)) + 0.5)
+
+
+def build_mip_atlas(images: np.ndarray) -> np.ndarray:
+    """Pack (N, S, S, C) base images into (N, S, 2S, C) mip atlases.
+
+    Box-filter downsampling; S must be a power of two.
+    """
+    images = np.asarray(images, np.float32)
+    n, s, s2, c = images.shape
+    assert s == s2 and (s & (s - 1)) == 0, "textures must be square pow2"
+    atlas = np.zeros((n, s, 2 * s, c), np.float32)
+    atlas[:, :, :s] = images
+    level = images
+    size = s
+    lv = 1
+    while size > 1:
+        level = level.reshape(n, size // 2, 2, size // 2, 2, c).mean(axis=(2, 4))
+        size //= 2
+        off = mip_offset_x(lv, s)
+        atlas[:, :size, off : off + size] = level
+        lv += 1
+    return atlas
+
+
+def _mip_offsets_table(base: int) -> jnp.ndarray:
+    return jnp.asarray(
+        [mip_offset_x(l, base) for l in range(mip_count(base))], jnp.float32
+    )
+
+
+def _gather_texel(atlas: jnp.ndarray, layer, ix, iy):
+    """atlas (N, H, WA, C); integer indices broadcast to pixel shape."""
+    return atlas[layer, iy, ix]
+
+
+def sample_bilinear_level(atlas: jnp.ndarray, layer, uv, level, base: int):
+    """One bilinear tap at an integer mip ``level`` (traced, per-pixel).
+
+    uv uses GL repeat addressing. Returns (..., C).
+    """
+    lvl = jnp.asarray(level, jnp.int32)
+    size_f = (jnp.asarray(base, jnp.float32) / jnp.exp2(lvl.astype(jnp.float32)))
+    size_f = jnp.maximum(jnp.floor(size_f + 0.5), 1.0)
+    offs = _mip_offsets_table(base)[jnp.clip(lvl, 0, mip_count(base) - 1)]
+
+    u = uv[..., 0] * size_f - 0.5
+    v = uv[..., 1] * size_f - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+
+    size_i = size_f.astype(jnp.int32)
+
+    def wrap(i):
+        return jnp.mod(i.astype(jnp.int32), size_i)
+
+    x0 = wrap(u0)
+    x1 = wrap(u0 + 1)
+    y0 = wrap(v0)
+    y1 = wrap(v0 + 1)
+    ox = offs.astype(jnp.int32)
+    layer = jnp.asarray(layer, jnp.int32)
+    t00 = _gather_texel(atlas, layer, x0 + ox, y0)
+    t10 = _gather_texel(atlas, layer, x1 + ox, y0)
+    t01 = _gather_texel(atlas, layer, x0 + ox, y1)
+    t11 = _gather_texel(atlas, layer, x1 + ox, y1)
+    return (
+        t00 * (1 - fu) * (1 - fv)
+        + t10 * fu * (1 - fv)
+        + t01 * (1 - fu) * fv
+        + t11 * fu * fv
+    )
+
+
+def sample_trilinear(atlas: jnp.ndarray, layer, uv, lod, base: int):
+    """textureLod with trilinear filtering; lod is per-pixel float."""
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, mip_count(base) - 1.0)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    a = sample_bilinear_level(atlas, layer, uv, l0.astype(jnp.int32), base)
+    b = sample_bilinear_level(
+        atlas, layer, uv, jnp.minimum(l0 + 1, mip_count(base) - 1).astype(jnp.int32),
+        base,
+    )
+    return a * (1 - frac) + b * frac
+
+
+def sample_base(atlas: jnp.ndarray, layer, uv, base: int):
+    """Bilinear tap at mip 0 (``texture()`` without explicit derivatives,
+    as the GBuffer pass effectively uses for magnified textures)."""
+    return sample_bilinear_level(atlas, layer, uv, jnp.zeros((), jnp.int32), base)
+
+
+# ------------------------------------------------------------------- cubemap
+
+
+def cube_direction_to_face_uv(d):
+    """GL/Vulkan cube face selection. d: (..., 3) direction (need not be
+    normalized). Returns (face (...,) int32, uv (..., 2))."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    eps = 1e-20
+    # face indices: 0:+X 1:-X 2:+Y 3:-Y 4:+Z 5:-Z
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, eps)
+    sc = jnp.where(
+        is_x,
+        jnp.where(x >= 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
+    )
+    tc = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y >= 0, z, -z), -y))
+    u = (sc / ma + 1.0) * 0.5
+    v = (tc / ma + 1.0) * 0.5
+    return face, jnp.stack([u, v], -1)
+
+
+def sample_cubemap_lod(cube_atlas: jnp.ndarray, cube_index, direction, lod,
+                       base: int):
+    """textureLod(samplerCube, dir, lod).
+
+    cube_atlas: (6 * n_cubemaps, S, 2S, C) — faces are consecutive layers
+    (+X, -X, +Y, -Y, +Z, -Z), matching the reference's cubemap_X0..Z5 PNG
+    layer order (ZeldaEngine.cpp:2692-2701).
+    Face-edge filtering is clamped per-face (seam-approximate).
+    """
+    face, uv = cube_direction_to_face_uv(direction)
+    # Clamp uv so bilinear taps don't wrap to the opposite edge of a face.
+    size_f = jnp.maximum(
+        jnp.asarray(base, jnp.float32)
+        / jnp.exp2(jnp.clip(jnp.floor(lod), 0, mip_count(base) - 1)),
+        1.0,
+    )
+    half = 0.5 / size_f
+    uv = jnp.clip(uv, half[..., None], 1.0 - half[..., None])
+    layer = jnp.asarray(cube_index, jnp.int32) * 6 + face
+    return sample_trilinear(cube_atlas, layer, uv, lod, base)
