@@ -25,6 +25,12 @@ class EngineConfig:
     shadowmap_dim: int = 1024
     pcf_radius: int = 2
     pcf_scale: float = 1.5  # texel scale inside ComputePCF (Common.glsl:326)
+    # Constant depth bias applied at shadow compare, standing in for the
+    # reference's vkCmdSetDepthBias(1.25, 0, 7.5) slope bias (:3280-3287).
+    shadow_bias: float = 5e-5
+    # Radius of the procedural skydome sphere (the reference's skydome.obj
+    # has a fixed modeled radius); must be < camera zFar to survive clip.
+    skydome_radius: float = 30.0
 
     # Light capacities (ZeldaEngine.cpp:84-86)
     max_directional_lights: int = 16

@@ -31,7 +31,7 @@ def compute_shadow_coord(shadowmap_space: jnp.ndarray, position: jnp.ndarray):
     return jnp.stack([x, y, clip[..., 2], clip[..., 3]], -1)
 
 
-def _shadow_tap(shadowmap: jnp.ndarray, sc, offset_u, offset_v):
+def _shadow_tap(shadowmap: jnp.ndarray, sc, offset_u, offset_v, bias=0.0):
     """ShadowDepthProject (Common.glsl:307-319): nearest-texel compare.
 
     sc: (..., 4) shadow coord ALREADY divided by w (as the callers do:
@@ -48,12 +48,12 @@ def _shadow_tap(shadowmap: jnp.ndarray, sc, offset_u, offset_v):
     dist = shadowmap[iy, ix]
     z = sc[..., 2]
     w = sc[..., 3]
-    occluded = (z > -1.0) & (z < 1.0) & (w > 0.0) & (dist < z)
+    occluded = (z > -1.0) & (z < 1.0) & (w > 0.0) & (dist < z - bias)
     return jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
 
 
 def compute_pcf(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
-                radius: int = 2, scale: float = 1.5):
+                radius: int = 2, scale: float = 1.5, bias: float = 0.0):
     """ComputePCF (Common.glsl:323-342): (2r+1)^2 taps at ``scale`` texel
     spacing, averaged. ``shadow_coord`` is the homogeneous coord (divided by
     w here, matching the call sites Base.frag:67 / BaseLighting.frag:178)."""
@@ -66,6 +66,6 @@ def compute_pcf(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     count = 0
     for ox in range(-radius, radius + 1):
         for oy in range(-radius, radius + 1):
-            total = total + _shadow_tap(shadowmap, sc, dx * ox, dy * oy)
+            total = total + _shadow_tap(shadowmap, sc, dx * ox, dy * oy, bias)
             count += 1
     return total / count

@@ -1,0 +1,338 @@
+"""The frame graph: one jitted function replaces RecordCommandBuffer
+(ZeldaEngine.cpp:3160-3744) + DrawFrame submission (:1940-2033).
+
+Pass order (matching the reference's hard-coded command order):
+  1. Shadowmap (all objects, depth-only, two-sided)         :3239-3393
+  2. DeferredScene -> 6-target GBuffer                      :3417-3480
+  3. (depth copy GBuffer->main = reusing the depth array)   :3482-3506
+  4. Main pass: DeferredLighting fullscreen                 :3536-3539
+     forward objects (z-tested against scene depth)         :3545-3579
+     skydome (LESS_OR_EQUAL)                                :3682-3691
+     background (fullscreen, z=1)                           :3693-3699
+     (skydome/background skipped when debug view != 0)
+
+Semaphores/fences/barriers do not exist here: XLA's dataflow is the
+dependency graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from zeldaengine_tpu.config import EngineConfig
+from zeldaengine_tpu.math.color import gamma_correct
+from zeldaengine_tpu.math.transforms import apply_mat4_h, apply_mat4_point
+from zeldaengine_tpu.ops import pbr
+from zeldaengine_tpu.ops.lighting import shade_pixels
+from zeldaengine_tpu.ops.rasterize import (
+    triangle_setup,
+    rasterize_visibility,
+    rasterize_depth,
+)
+from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
+from zeldaengine_tpu.ops.texture import sample_base, sample_trilinear
+from zeldaengine_tpu.passes.gbuffer import (
+    GBuffer,
+    SurfaceAttributes,
+    pack_gbuffer,
+    surface_attributes,
+)
+from zeldaengine_tpu.scene.scenebuild import GpuScene, SceneMeta
+
+
+def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig):
+    sc = compute_shadow_coord(view.shadow_space, world_pos)
+    return compute_pcf(
+        shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+        bias=config.shadow_bias,
+    )
+
+
+def _debug_switch(debug_view, final, attrs: SurfaceAttributes, shadow_factor,
+                  reflection, extra_case9=None):
+    """The SPEC_CONSTANTS switch of Base.frag:119-143 (forward) and
+    BaseLighting.frag:237-253 (deferred when ``extra_case9`` is given)."""
+
+    def c(x):
+        return jnp.broadcast_to(x[..., None] if x.ndim == 2 else x, final.shape)
+
+    branches = [
+        lambda: final,  # composed by caller (case 0 differs fwd/deferred)
+        lambda: c(attrs.base_color),
+        lambda: c(attrs.metallic),
+        lambda: c(attrs.roughness),
+        lambda: c(attrs.normal),
+        lambda: c(attrs.ao),
+        lambda: c(attrs.vertex_color),
+        lambda: c(reflection),
+        lambda: c(shadow_factor),
+        (lambda: extra_case9) if extra_case9 is not None else (lambda: final),
+    ]
+    return jax.lax.switch(jnp.clip(debug_view, 0, 9), branches)
+
+
+def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
+                 cube_atlas=None):
+    """BaseLighting.frag:42-145 GBufferVis — 3x3 contact sheet of the
+    GBuffer (basecolor/metallic/roughness | normal/-/AO | black/refl/shadow),
+    honoring the editor's reserved right/bottom bars via viewportInfo."""
+    height, width = gbuf.depth.shape
+    yy = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height
+    xx = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
+    uv = jnp.stack(
+        [jnp.broadcast_to(xx, (height, width)), jnp.broadcast_to(yy, (height, width))],
+        -1,
+    )
+    empty = view.viewport[2:4] / view.viewport[0:2]
+    tile_uv = uv * 3.0 / (1.0 - empty)
+
+    def sample(img):
+        ix = jnp.clip((tile_uv[..., 0] * width).astype(jnp.int32), 0, width - 1)
+        iy = jnp.clip((tile_uv[..., 1] * height).astype(jnp.int32), 0, height - 1)
+        return img[iy, ix]
+
+    ga = sample(gbuf.gbuffer_a)
+    gb = sample(gbuf.gbuffer_b)
+    gc = sample(gbuf.gbuffer_c)
+    gd = sample(gbuf.gbuffer_d)
+
+    base_color = gc[..., :3]
+    metallic = pbr.saturate(gb[..., 0])
+    roughness = jnp.maximum(0.01, pbr.saturate(gb[..., 2]))
+    normal = pbr.normalize(ga[..., :3] * 2.0 - 1.0)
+    ao = pbr.saturate(gc[..., 3])
+    p = gd[..., :3]
+    v = pbr.normalize(view.camera_pos - p)
+
+    step = (1.0 - empty) / 3.0
+    x = uv[..., 0]
+    y = uv[..., 1]
+
+    def cell(i, j):
+        """Inside cell (i, j) of the 3x3 grid, minus the gutter."""
+        in_cell = (
+            (x < step[0] * (i + 1))
+            & (x >= step[0] * i)
+            & (y < step[1] * (j + 1))
+            & (y >= step[1] * j)
+        )
+        gutter = (x > step[0] * (i + 1.0 - empty[0])) | (
+            y > step[1] * (j + 1.0 - empty[1])
+        )
+        return in_cell, gutter
+
+    result = final
+    white = jnp.ones_like(final)
+
+    def put(i, j, img):
+        nonlocal result
+        in_cell, gutter = cell(i, j)
+        val = jnp.where(gutter[..., None], white, img)
+        result = jnp.where(in_cell[..., None], val, result)
+
+    put(0, 0, gamma_correct(base_color))
+    put(1, 0, jnp.broadcast_to(metallic[..., None], final.shape))
+    put(2, 0, jnp.broadcast_to(roughness[..., None], final.shape))
+    put(0, 1, normal)
+    put(2, 1, jnp.broadcast_to(ao[..., None], final.shape))
+    put(0, 2, jnp.zeros_like(final))
+    # (1,2): raw mip-0 reflection
+    from zeldaengine_tpu.ops.texture import sample_cubemap_lod
+
+    r = pbr.refract(v, normal, 1.0 / 1.52)
+    refl = sample_cubemap_lod(
+        cube_atlas, jnp.zeros(x.shape, jnp.int32), r, jnp.zeros(x.shape),
+        config.cubemap_size,
+    )[..., :3] * 10.0
+    put(1, 2, refl)
+    # (2,2): shadow factor
+    sf = _shadow_factor(shadowmap, p, view, config)
+    put(2, 2, jnp.broadcast_to(sf[..., None], final.shape))
+    return result
+
+
+def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
+                     config: EngineConfig):
+    """BaseLighting.frag main(): unpack GBuffer, light, debug switch."""
+    base_color = gbuf.gbuffer_c[..., :3]
+    metallic = pbr.saturate(gbuf.gbuffer_b[..., 0])
+    roughness = jnp.maximum(0.01, pbr.saturate(gbuf.gbuffer_b[..., 2]))
+    normal = gbuf.gbuffer_a[..., :3] * 2.0 - 1.0
+    ao = pbr.saturate(gbuf.gbuffer_c[..., 3])
+    emissive = gbuf.scene_color[..., :3]
+    mask = gbuf.scene_color[..., 3]
+    world_pos = gbuf.gbuffer_d[..., :3]
+
+    shadow_factor = _shadow_factor(shadowmap, world_pos, view, config)
+    lit = shade_pixels(
+        base_color, metallic, roughness, normal, ao, world_pos,
+        shadow_factor, view, scene.cube_atlas, config.cubemap_size,
+    )
+    final = gamma_correct(lit["final"] * mask[..., None])
+
+    attrs = SurfaceAttributes(
+        covered=gbuf.depth < 1.0,
+        world_pos=world_pos,
+        normal=pbr.normalize(normal),
+        # deferred fullscreen rect interpolates the Background.vert corner
+        # colors; approximated as its dominant red/green/blue blend is not
+        # reconstructible per-pixel — use the GBuffer-less vertex color
+        # convention (BaseLighting debug case 6 shows rect colors).
+        vertex_color=jnp.zeros_like(base_color),
+        base_color=gamma_correct(base_color),  # case 1 gamma-corrects
+        metallic=metallic,
+        roughness=roughness,
+        ao=ao,
+        emissive=emissive,
+        mask=mask,
+    )
+    vis = _gbuffer_vis(gbuf, shadowmap, final, view, config, scene.cube_atlas)
+    return _debug_switch(
+        view.debug_view, final, attrs, shadow_factor, lit["reflection"],
+        extra_case9=vis,
+    )
+
+
+def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
+                  config: EngineConfig):
+    """Base.frag main(): forward PBR with the case-0 ShadowFactor multiply."""
+    shadow_factor = _shadow_factor(shadowmap, attrs.world_pos, view, config)
+    lit = shade_pixels(
+        attrs.base_color, attrs.metallic, attrs.roughness, attrs.normal,
+        attrs.ao, attrs.world_pos, shadow_factor, view,
+        scene.cube_atlas, config.cubemap_size,
+    )
+    final = gamma_correct(lit["final"]) * shadow_factor[..., None]
+    return _debug_switch(
+        view.debug_view, final, attrs, shadow_factor, lit["reflection"],
+        extra_case9=final,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "config"))
+def render_frame(
+    scene: GpuScene,
+    view,
+    meta: SceneMeta,
+    config: EngineConfig,
+):
+    """Render one frame. Returns (image (H, W, 3) float32 in [0,1], aux)."""
+    height, width = config.height, config.width
+
+    # ---- vertex stage (Base.vert / BaseInstanced.vert / Shadowmap*.vert)
+    world = apply_mat4_point(view.model, scene.pair_pos)
+    n1 = apply_mat4_point(view.model, pbr.normalize(scene.pair_nrm))
+    n_world = jnp.einsum(
+        "pij,pj->pi", scene.rot_table[scene.pair_rot], n1,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    clip = apply_mat4_h(view.view_proj, world)
+    tri_clip = clip[scene.tri_vtx]
+
+    # ---- 1. shadowmap pass (two-sided: cull disabled for Shadow pipelines)
+    if config.enable_shadow:
+        clip_sh = apply_mat4_h(view.shadow_space, world)
+        setup_sh = triangle_setup(
+            clip_sh[scene.tri_vtx],
+            config.shadowmap_dim,
+            config.shadowmap_dim,
+            two_sided=True,
+            valid_mask=scene.tri_valid,
+        )
+        shadowmap = rasterize_depth(
+            setup_sh, config.shadowmap_dim, config.shadowmap_dim,
+            chunk=config.tri_chunk,
+        )
+    else:
+        shadowmap = jnp.zeros(
+            (config.shadowmap_dim, config.shadowmap_dim), jnp.float32
+        )
+        shadowmap = shadowmap + 1.0
+
+    # ---- 2. deferred scene -> GBuffer
+    setup = triangle_setup(
+        tri_clip, width, height,
+        two_sided=scene.tri_two_sided,
+        valid_mask=scene.tri_valid & scene.tri_deferred,
+    )
+    depth_d, tid_d = rasterize_visibility(
+        setup, height, width, chunk=config.tri_chunk
+    )
+    attrs_d = surface_attributes(scene, setup, tid_d, world, n_world, config)
+    gbuf = pack_gbuffer(attrs_d, depth_d)
+
+    # ---- 4a. deferred lighting (fullscreen, no depth test)
+    color = resolve_lighting(gbuf, shadowmap, scene, view, config)
+
+    # ---- 4b. forward objects (z-test against the copied scene depth)
+    setup_f = triangle_setup(
+        tri_clip, width, height,
+        two_sided=scene.tri_two_sided,
+        valid_mask=scene.tri_valid & (~scene.tri_deferred),
+    )
+    depth, tid_f = rasterize_visibility(
+        setup_f, height, width, chunk=config.tri_chunk, init_depth=depth_d
+    )
+    fwd_mask = tid_f >= 0
+    attrs_f = surface_attributes(scene, setup_f, tid_f, world, n_world, config)
+    fwd_color = forward_shade(attrs_f, shadowmap, scene, view, config)
+    color = jnp.where(fwd_mask[..., None], fwd_color, color)
+
+    show_env = view.debug_view == 0  # :3682/:3693 skip when debug view != 0
+
+    # ---- 4c. skydome (LESS_OR_EQUAL against current depth)
+    if meta.enable_skydome and config.enable_skydome:
+        sky_world = apply_mat4_point(view.model, scene.sky_pos)
+        sky_clip = apply_mat4_h(view.view_proj, sky_world)
+        setup_sky = triangle_setup(
+            sky_clip[scene.sky_tri], width, height, two_sided=True
+        )
+        depth_sky, tid_sky = rasterize_visibility(
+            setup_sky, height, width, chunk=config.tri_chunk, init_depth=depth
+        )
+        sky_mask = (tid_sky >= 0) & show_env
+        # interpolate uv and sample the equirect skydome texture
+        from zeldaengine_tpu.ops.rasterize import interpolation_coeffs
+
+        bary, _ = interpolation_coeffs(setup_sky, tid_sky, height, width)
+        uv = jnp.einsum(
+            "hwk,hwkc->hwc", bary, scene.sky_uv[scene.sky_tri[jnp.maximum(tid_sky, 0)]]
+        )
+        sky_rgb = gamma_correct(
+            sample_base(
+                scene.sky_tex, jnp.zeros_like(tid_sky), uv, config.background_size
+            )[..., :3]
+        )
+        color = jnp.where(sky_mask[..., None], sky_rgb, color)
+        depth = jnp.where(sky_mask, depth_sky, depth)
+
+    # ---- 4d. background (fullscreen rect at z=1, LESS_OR_EQUAL)
+    if meta.enable_background and config.enable_background:
+        yy = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height
+        xx = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
+        uv = jnp.stack(
+            [jnp.broadcast_to(xx, (height, width)),
+             jnp.broadcast_to(yy, (height, width))], -1,
+        )
+        bg_rgb = gamma_correct(
+            sample_base(
+                scene.bg_tex, jnp.zeros((height, width), jnp.int32), uv,
+                config.background_size,
+            )[..., :3]
+        )
+        bg_mask = (depth >= 1.0) & show_env
+        color = jnp.where(bg_mask[..., None], bg_rgb, color)
+
+    color = jnp.clip(color, 0.0, 1.0)
+    aux = {
+        "depth": depth,
+        "shadowmap": shadowmap,
+        "gbuffer_depth": depth_d,
+        "tri_id": tid_d,
+        "forward_tri_id": tid_f,
+    }
+    return color, aux

@@ -1,0 +1,188 @@
+"""Surface-attribute resolution and GBuffer packing.
+
+The deferred GBuffer layout matches BaseScene.frag:43-47 / XkGBuffer
+(ZeldaEngine.cpp:1294-1369):
+
+  scene_color: (H, W, 4) Emissive.rgb, Mask.r
+  gbuffer_a:   (H, W, 4) Normal * 0.5 + 0.5, 1
+  gbuffer_b:   (H, W, 4) Metallic, 1.0 (Specular), Roughness, 1
+  gbuffer_c:   (H, W, 4) BaseColor.rgb, AO
+  gbuffer_d:   (H, W, 4) WorldPos.xyz, 1
+
+Attribute interpolation is the deferred half of the visibility-buffer
+design: one gather of the winning triangle's data per pixel, then analytic
+screen-space derivatives (exact, replacing dFdx/dFdy quads) feed the TBN
+normal mapping and texture LOD.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from zeldaengine_tpu.config import EngineConfig
+from zeldaengine_tpu.ops import pbr
+from zeldaengine_tpu.ops.rasterize import TriangleSetup, _pixel_grid
+from zeldaengine_tpu.ops.texture import sample_trilinear
+
+
+class SurfaceAttributes(NamedTuple):
+    covered: jnp.ndarray  # (H, W) bool
+    world_pos: jnp.ndarray  # (H, W, 3)
+    normal: jnp.ndarray  # (H, W, 3) mapped shading normal (TBN + normal map)
+    vertex_color: jnp.ndarray  # (H, W, 3)
+    base_color: jnp.ndarray  # (H, W, 3)
+    metallic: jnp.ndarray  # (H, W)
+    roughness: jnp.ndarray  # (H, W) (max 0.01 applied)
+    ao: jnp.ndarray  # (H, W)
+    emissive: jnp.ndarray  # (H, W, 3)
+    mask: jnp.ndarray  # (H, W)
+
+
+def surface_attributes(
+    scene,
+    setup: TriangleSetup,
+    tri_id: jnp.ndarray,
+    pair_world: jnp.ndarray,
+    pair_normal_world: jnp.ndarray,
+    config: EngineConfig,
+) -> SurfaceAttributes:
+    """Resolve per-pixel surface attributes from a visibility buffer."""
+    height, width = tri_id.shape
+    covered = tri_id >= 0
+    tid = jnp.maximum(tri_id, 0)
+
+    v_idx = scene.tri_vtx[tid]  # (H, W, 3)
+    mat_id = scene.tri_mat[tid]  # (H, W)
+
+    # Perspective-correct barycentrics + analytic screen derivatives.
+    edge = setup.edge[tid]  # (H, W, 3, 3)
+    px, py = _pixel_grid(height, width)
+    u = edge[..., 0] * px[..., None] + edge[..., 1] * py[..., None] + edge[..., 2]
+    esum = jnp.sum(u, axis=-1)
+    inv = 1.0 / jnp.where(jnp.abs(esum) > 1e-20, esum, 1.0)
+    bary = u * inv[..., None]  # (H, W, 3)
+    # d(bary)/dx = (A_x - bary * sum(A_x)) / esum  (quotient rule)
+    ax = edge[..., 0]
+    ay = edge[..., 1]
+    dbary_dx = (ax - bary * jnp.sum(ax, -1, keepdims=True)) * inv[..., None]
+    dbary_dy = (ay - bary * jnp.sum(ay, -1, keepdims=True)) * inv[..., None]
+
+    def interp(attr_pool):  # (P, C) -> (H, W, C)
+        vals = attr_pool[v_idx]  # (H, W, 3, C)
+        return jnp.einsum("hwk,hwkc->hwc", bary, vals)
+
+    def deriv(attr_pool, d):
+        vals = attr_pool[v_idx]
+        return jnp.einsum("hwk,hwkc->hwc", d, vals)
+
+    world_pos = interp(pair_world)
+    frag_normal = interp(pair_normal_world)
+    vertex_color = interp(scene.pair_col)
+    uv = interp(scene.pair_uv)
+
+    dpos_dx = deriv(pair_world, dbary_dx)
+    dpos_dy = deriv(pair_world, dbary_dy)
+    duv_dx = deriv(scene.pair_uv, dbary_dx)
+    duv_dy = deriv(scene.pair_uv, dbary_dy)
+
+    # Texture LOD from the analytic uv footprint (texture() semantics).
+    ts = float(config.texture_size)
+    foot = jnp.maximum(
+        jnp.sum(duv_dx * duv_dx, -1), jnp.sum(duv_dy * duv_dy, -1)
+    )
+    lod = 0.5 * jnp.log2(jnp.maximum(foot * ts * ts, 1e-12))
+    lod = jnp.maximum(lod, 0.0)
+
+    layers = scene.mat_tex[mat_id]  # (H, W, 7)
+
+    def tex(slot):
+        return sample_trilinear(
+            scene.tex_atlas, layers[..., slot], uv, lod, config.texture_size
+        )
+
+    base_color = tex(0)[..., :3]
+    metallic = pbr.saturate(tex(1)[..., 0])
+    roughness = jnp.maximum(0.01, pbr.saturate(tex(2)[..., 0]))
+    tex_normal = tex(3)[..., :3]
+    ao = tex(4)[..., 0]
+    emissive = tex(5)[..., :3]
+    mask = tex(6)[..., 0]
+
+    normal = pbr.compute_tangent_normal(
+        dpos_dx, dpos_dy, duv_dx, duv_dy, frag_normal, tex_normal
+    )
+
+    return SurfaceAttributes(
+        covered=covered,
+        world_pos=world_pos,
+        normal=normal,
+        vertex_color=vertex_color,
+        base_color=base_color,
+        metallic=metallic,
+        roughness=roughness,
+        ao=ao,
+        emissive=emissive,
+        mask=mask,
+    )
+
+
+class GBuffer(NamedTuple):
+    scene_color: jnp.ndarray
+    gbuffer_a: jnp.ndarray
+    gbuffer_b: jnp.ndarray
+    gbuffer_c: jnp.ndarray
+    gbuffer_d: jnp.ndarray
+    depth: jnp.ndarray
+
+
+def pack_gbuffer(attrs: SurfaceAttributes, depth: jnp.ndarray) -> GBuffer:
+    """BaseScene.frag:43-47; uncovered pixels = clear values (zeros)."""
+    m = attrs.covered[..., None]
+    n_packed = (pbr.normalize(attrs.normal) + 1.0) * 0.5
+    # Quantize like the A2R10G10B10 / RGBA8 attachments the reference uses.
+    n_packed = jnp.round(n_packed * 1023.0) / 1023.0
+
+    def q8(x):
+        return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+
+    scene_color = jnp.where(
+        m,
+        jnp.concatenate([q8(attrs.emissive), q8(attrs.mask)[..., None]], -1),
+        0.0,
+    )
+    ga = jnp.where(
+        m, jnp.concatenate([n_packed, jnp.ones_like(n_packed[..., :1])], -1), 0.0
+    )
+    gb = jnp.where(
+        m,
+        jnp.stack(
+            [
+                q8(attrs.metallic),
+                jnp.ones_like(attrs.metallic),
+                q8(attrs.roughness),
+                jnp.ones_like(attrs.metallic),
+            ],
+            -1,
+        ),
+        0.0,
+    )
+    gc = jnp.where(
+        m, jnp.concatenate([q8(attrs.base_color), q8(attrs.ao)[..., None]], -1), 0.0
+    )
+    gd = jnp.where(
+        m,
+        jnp.concatenate(
+            [attrs.world_pos, jnp.ones_like(attrs.world_pos[..., :1])], -1
+        ),
+        0.0,
+    )
+    return GBuffer(
+        scene_color=scene_color,
+        gbuffer_a=ga,
+        gbuffer_b=gb,
+        gbuffer_c=gc,
+        gbuffer_d=gd,
+        depth=depth,
+    )

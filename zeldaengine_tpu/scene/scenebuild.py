@@ -1,0 +1,333 @@
+"""Host-side scene flattening: meshes/instances/materials -> device SoA pools.
+
+This is the TPU-native replacement for the reference's per-object GPU state
+(VkBuffers per mesh, descriptor sets per material, per-draw vkCmdDraw calls,
+ZeldaEngine.cpp:4726-4885). Instead of N objects x (buffers + descriptors),
+the whole scene is a handful of flat arrays with integer indices — the
+"bindless" design the reference left as a TODO (ENABLE_BINDLESS_TEXTURE,
+ZeldaEngine.cpp:96) is the natural TPU layout.
+
+Instancing (BaseInstanced.vert) is baked at build time: each (vertex,
+instance) pair becomes one entry in the pair pools with the instance
+transform pre-applied to positions (static per scene); instance *rotations*
+are kept in a small table because the reference applies them to normals
+AFTER the dynamic model matrix (BaseInstanced.vert:74).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from zeldaengine_tpu.config import EngineConfig
+from zeldaengine_tpu.scene.mesh import Mesh, make_sphere
+from zeldaengine_tpu.ops.texture import build_mip_atlas
+
+
+def _hue2rgb_np(hue: np.ndarray) -> np.ndarray:
+    h = hue - np.floor(hue)
+    r = np.abs(h * 6.0 - 3.0) - 1.0
+    g = 2.0 - np.abs(h * 6.0 - 2.0)
+    b = 2.0 - np.abs(h * 6.0 - 4.0)
+    return np.clip(np.stack([r, g, b], -1), 0.0, 1.0)
+
+
+def _make_rot_np(r3: np.ndarray) -> np.ndarray:
+    """MakeRotMatrix (Common.glsl:60-87) in numpy; r3 (..., 3) -> (..., 3, 3)."""
+    sx, cx = np.sin(r3[..., 0]), np.cos(r3[..., 0])
+    sy, cy = np.sin(r3[..., 1]), np.cos(r3[..., 1])
+    sz, cz = np.sin(r3[..., 2]), np.cos(r3[..., 2])
+    z = np.zeros_like(sx)
+    o = np.ones_like(sx)
+    mx = np.stack([cx, z, -sx, z, o, z, sx, z, cx], -1).reshape(*sx.shape, 3, 3)
+    my = np.stack([cy, -sy, z, sy, cy, z, z, z, o], -1).reshape(*sx.shape, 3, 3)
+    mz = np.stack([o, z, z, z, cz, -sz, z, sz, cz], -1).reshape(*sx.shape, 3, 3)
+    return mz @ my @ mx
+
+
+# PBR texture slot order (Base.frag:24-30 / CreateRenderObjectsFromProfabs
+# :4951-4989): basecolor, metallic, roughness, normal, AO, emissive, mask.
+SLOT_BASECOLOR, SLOT_METALLIC, SLOT_ROUGHNESS, SLOT_NORMAL = 0, 1, 2, 3
+SLOT_AO, SLOT_EMISSIVE, SLOT_MASK = 4, 5, 6
+
+
+def default_slot_images(size: int) -> dict:
+    """Default textures per slot (CreateRenderObjectsFromProfabs fallbacks:
+    grey basecolor, black metallic/emissive, white roughness/AO/mask, flat
+    normal)."""
+
+    def solid(rgb):
+        img = np.zeros((size, size, 4), np.float32)
+        img[..., :3] = rgb
+        img[..., 3] = 1.0
+        return img
+
+    # basecolor default_grey.png is 0.5 sRGB -> linear ~0.2140
+    grey_lin = ((0.5 + 0.055) / 1.055) ** 2.4
+    return {
+        SLOT_BASECOLOR: solid([grey_lin] * 3),
+        SLOT_METALLIC: solid([0.0, 0.0, 0.0]),
+        SLOT_ROUGHNESS: solid([1.0, 1.0, 1.0]),
+        SLOT_NORMAL: solid([0.5, 0.5, 1.0]),
+        SLOT_AO: solid([1.0, 1.0, 1.0]),
+        SLOT_EMISSIVE: solid([0.0, 0.0, 0.0]),
+        SLOT_MASK: solid([1.0, 1.0, 1.0]),
+    }
+
+
+class GpuScene(NamedTuple):
+    """Device-resident scene (a jit-traceable pytree; shapes static)."""
+
+    # vertex pairs (post-instancing vertex pool)
+    pair_pos: jnp.ndarray  # (P, 3) instance-staged local positions
+    pair_nrm: jnp.ndarray  # (P, 3) local normals (normalized)
+    pair_col: jnp.ndarray  # (P, 3) debug vertex colors
+    pair_uv: jnp.ndarray  # (P, 2)
+    pair_rot: jnp.ndarray  # (P,) int32 index into rot_table
+    rot_table: jnp.ndarray  # (R, 3, 3) instance normal rotations (R^T), [0]=I
+
+    # triangles
+    tri_vtx: jnp.ndarray  # (T, 3) int32 pair indices
+    tri_mat: jnp.ndarray  # (T,) int32 material ids
+    tri_two_sided: jnp.ndarray  # (T,) bool
+    tri_deferred: jnp.ndarray  # (T,) bool: deferred (True) vs forward
+    tri_valid: jnp.ndarray  # (T,) bool
+
+    # materials + textures
+    mat_tex: jnp.ndarray  # (M, 7) int32 texture layers per PBR slot
+    tex_atlas: jnp.ndarray  # (N, S, 2S, 4) mip atlases
+    cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 4) sky cubemap faces
+    sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 4) skydome equirect texture
+    bg_tex: jnp.ndarray  # (1, Sb, 2Sb, 4) background texture
+
+    # skydome mesh (inside-out sphere; Content/Models/skydome.obj analogue)
+    sky_pos: jnp.ndarray  # (Vs, 3)
+    sky_uv: jnp.ndarray  # (Vs, 2)
+    sky_tri: jnp.ndarray  # (Ts, 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static companion info (part of the jit cache key via closure)."""
+
+    enable_skydome: bool = True
+    enable_background: bool = False
+    num_triangles: int = 0
+    num_pairs: int = 0
+    num_instances: int = 0
+
+
+class SceneBuilder:
+    """Accumulates meshes/materials/textures, then builds flat pools."""
+
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        s = config.texture_size
+        self._defaults = default_slot_images(s)
+        self.textures: List[np.ndarray] = [
+            self._defaults[i] for i in range(7)
+        ]  # layers 0-6 = per-slot defaults
+        self.materials: List[np.ndarray] = []
+        self._pair_pos: List[np.ndarray] = []
+        self._pair_nrm: List[np.ndarray] = []
+        self._pair_col: List[np.ndarray] = []
+        self._pair_uv: List[np.ndarray] = []
+        self._pair_rot: List[np.ndarray] = []
+        self._rots: List[np.ndarray] = [np.eye(3, dtype=np.float32)]
+        self._tri_vtx: List[np.ndarray] = []
+        self._tri_mat: List[np.ndarray] = []
+        self._tri_two_sided: List[np.ndarray] = []
+        self._tri_deferred: List[np.ndarray] = []
+        self._num_instances = 0
+
+        cs = config.cubemap_size
+        self.cube_faces = np.zeros((6, cs, cs, 4), np.float32)
+        self.cube_faces[..., 3] = 1.0
+        ss = config.background_size
+        self.sky_image = np.full((ss, ss, 4), 0.25, np.float32)
+        self.bg_image = np.zeros((ss, ss, 4), np.float32)
+        self.enable_skydome = True
+        self.enable_background = False
+        sky_mesh = make_sphere(
+            getattr(config, "skydome_radius", 30.0), rings=24, sectors=48,
+            inward=True,
+        )
+        self._sky_mesh = sky_mesh
+
+    # ---------------------------------------------------------------- assets
+
+    def add_texture(self, image: np.ndarray) -> int:
+        """image: (S, S, 4) float32 linear-space; returns layer index."""
+        s = self.config.texture_size
+        assert image.shape == (s, s, 4), f"texture must be ({s},{s},4)"
+        self.textures.append(np.asarray(image, np.float32))
+        return len(self.textures) - 1
+
+    def add_material(self, slots: Optional[dict] = None) -> int:
+        """slots: {slot_index: texture_layer or (S,S,4) image}. Missing slots
+        use the per-slot defaults (layers 0-6)."""
+        layers = list(range(7))
+        for slot, val in (slots or {}).items():
+            if isinstance(val, (int, np.integer)):
+                layers[slot] = int(val)
+            else:
+                layers[slot] = self.add_texture(val)
+        self.materials.append(np.asarray(layers, np.int32))
+        return len(self.materials) - 1
+
+    def set_cubemap(self, faces: np.ndarray) -> None:
+        """faces: (6, S, S, 3|4) in +X,-X,+Y,-Y,+Z,-Z order."""
+        cs = self.config.cubemap_size
+        assert faces.shape[0] == 6 and faces.shape[1] == cs
+        self.cube_faces[..., : faces.shape[-1]] = faces
+
+    def set_skydome_texture(self, image: np.ndarray) -> None:
+        self.sky_image[..., : image.shape[-1]] = image
+
+    def set_background_texture(self, image: np.ndarray) -> None:
+        self.bg_image[..., : image.shape[-1]] = image
+
+    # --------------------------------------------------------------- objects
+
+    def add_object(
+        self,
+        mesh: Mesh,
+        material: int,
+        instances: Optional[np.ndarray] = None,
+        two_sided: bool = False,
+        deferred: bool = True,
+    ) -> None:
+        """Add a render object; ``instances`` is (N, 8) from
+        ObjectDesc.generate_instances (pos3, rot3, pscale, tex_index)."""
+        v = mesh.num_vertices
+        if instances is None:
+            instances = np.zeros((1, 8), np.float32)
+            instances[0, 6] = 1.0  # scale 1
+            plain = True
+        else:
+            plain = False
+        n_inst = instances.shape[0]
+        self._num_instances += n_inst
+
+        # Rotation table entries: R^T per instance (normals get p*mat3(R)).
+        rot_mats = _make_rot_np(instances[:, 3:6]).transpose(0, 2, 1)
+        identity = np.abs(instances[:, 3:6]).sum(-1) == 0
+        rot_idx = np.zeros(n_inst, np.int32)
+        for i in range(n_inst):
+            if identity[i]:
+                rot_idx[i] = 0
+            else:
+                self._rots.append(rot_mats[i].astype(np.float32))
+                rot_idx[i] = len(self._rots) - 1
+
+        # Stage positions: p' = (p * scale) * mat3(R) + t  (= R^T (s p) + t).
+        base = mesh.positions  # (V, 3)
+        scaled = base[None, :, :] * instances[:, None, 6:7]
+        staged = np.einsum("nij,nvj->nvi", rot_mats, scaled) + instances[:, None, :3]
+
+        # Debug vertex colors: plain path = Hue2RGB(vertex_index * 1.71)
+        # (Base.vert:30); instanced = Hue2RGB(texIndex * 1.71)
+        # (BaseInstanced.vert:74).
+        if plain:
+            col = _hue2rgb_np(np.arange(v, dtype=np.float32) * 1.71)
+            cols = np.broadcast_to(col, (n_inst, v, 3))
+        else:
+            col = _hue2rgb_np(instances[:, 7] * 1.71)  # (N, 3)
+            cols = np.broadcast_to(col[:, None, :], (n_inst, v, 3))
+
+        base_pair = sum(p.shape[0] for p in self._pair_pos)
+        self._pair_pos.append(staged.reshape(-1, 3).astype(np.float32))
+        self._pair_nrm.append(
+            np.broadcast_to(mesh.normals, (n_inst, v, 3)).reshape(-1, 3).copy()
+        )
+        self._pair_col.append(cols.reshape(-1, 3).astype(np.float32))
+        self._pair_uv.append(
+            np.broadcast_to(mesh.uvs, (n_inst, v, 2)).reshape(-1, 2).copy()
+        )
+        self._pair_rot.append(np.repeat(rot_idx, v))
+
+        t = mesh.num_triangles
+        tri = (
+            mesh.indices[None, :, :]
+            + (base_pair + np.arange(n_inst)[:, None, None] * v)
+        ).reshape(-1, 3)
+        self._tri_vtx.append(tri.astype(np.int32))
+        self._tri_mat.append(np.full(t * n_inst, material, np.int32))
+        self._tri_two_sided.append(np.full(t * n_inst, two_sided, bool))
+        self._tri_deferred.append(np.full(t * n_inst, deferred, bool))
+
+    # ----------------------------------------------------------------- build
+
+    def build(self) -> tuple[GpuScene, SceneMeta]:
+        def cat(parts, dtype, width=None):
+            if not parts:
+                shape = (0,) if width is None else (0, width)
+                return np.zeros(shape, dtype)
+            return np.concatenate(parts).astype(dtype)
+
+        pair_pos = cat(self._pair_pos, np.float32, 3)
+        pair_nrm = cat(self._pair_nrm, np.float32, 3)
+        pair_col = cat(self._pair_col, np.float32, 3)
+        pair_uv = cat(self._pair_uv, np.float32, 2)
+        pair_rot = cat(self._pair_rot, np.int32)
+        tri_vtx = cat(self._tri_vtx, np.int32, 3)
+        tri_mat = cat(self._tri_mat, np.int32)
+        tri_two = cat(self._tri_two_sided, bool)
+        tri_def = cat(self._tri_deferred, bool)
+
+        n_pairs = pair_pos.shape[0]
+        n_tris = tri_vtx.shape[0]
+
+        # Pad to lane-friendly sizes (and at least one chunk).
+        def pad_to(n, m):
+            return max(m, ((n + m - 1) // m) * m)
+
+        p_cap = pad_to(n_pairs, 8)
+        t_cap = pad_to(n_tris, self.config.tri_chunk)
+
+        def padn(a, cap):
+            pad = cap - a.shape[0]
+            return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+        tri_valid = np.zeros(t_cap, bool)
+        tri_valid[:n_tris] = True
+
+        mats = (
+            np.stack(self.materials)
+            if self.materials
+            else np.arange(7, dtype=np.int32)[None]
+        )
+
+        sky = self._sky_mesh
+        scene = GpuScene(
+            pair_pos=jnp.asarray(padn(pair_pos, p_cap)),
+            pair_nrm=jnp.asarray(padn(pair_nrm, p_cap)),
+            pair_col=jnp.asarray(padn(pair_col, p_cap)),
+            pair_uv=jnp.asarray(padn(pair_uv, p_cap)),
+            pair_rot=jnp.asarray(padn(pair_rot, p_cap)),
+            rot_table=jnp.asarray(np.stack(self._rots)),
+            tri_vtx=jnp.asarray(padn(tri_vtx, t_cap)),
+            tri_mat=jnp.asarray(padn(tri_mat, t_cap)),
+            tri_two_sided=jnp.asarray(padn(tri_two, t_cap)),
+            tri_deferred=jnp.asarray(padn(tri_def, t_cap)),
+            tri_valid=jnp.asarray(tri_valid),
+            mat_tex=jnp.asarray(mats),
+            tex_atlas=jnp.asarray(build_mip_atlas(np.stack(self.textures))),
+            cube_atlas=jnp.asarray(build_mip_atlas(self.cube_faces)),
+            sky_tex=jnp.asarray(build_mip_atlas(self.sky_image[None])),
+            bg_tex=jnp.asarray(build_mip_atlas(self.bg_image[None])),
+            sky_pos=jnp.asarray(sky.positions),
+            sky_uv=jnp.asarray(sky.uvs),
+            sky_tri=jnp.asarray(sky.indices),
+        )
+        meta = SceneMeta(
+            enable_skydome=self.enable_skydome,
+            enable_background=self.enable_background,
+            num_triangles=n_tris,
+            num_pairs=n_pairs,
+            num_instances=self._num_instances,
+        )
+        return scene, meta
