@@ -1,16 +1,19 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere.
+The container's sitecustomize registers the axon TPU backend and forces
+``jax_platforms="axon,cpu"``; override it back to CPU (fast, deterministic,
+and multi-device capable) before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

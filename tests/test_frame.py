@@ -1,0 +1,132 @@
+"""End-to-end frame graph smoke tests (small CPU config, one compile)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zeldaengine_tpu.config import TEST_CONFIG
+from zeldaengine_tpu.scene import make_cube, make_plane
+from zeldaengine_tpu.scene.world import World, LightDesc, CameraDesc
+from zeldaengine_tpu.scene.scenebuild import SceneBuilder
+from zeldaengine_tpu.passes import build_view_state, render_frame
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    cfg = TEST_CONFIG
+    b = SceneBuilder(cfg)
+    c = (np.indices((cfg.texture_size,) * 2).sum(0) // 8 % 2).astype(np.float32)
+    img = np.stack([0.1 + 0.6 * c, 0.2 + 0.2 * c, 0.7 - 0.5 * c,
+                    np.ones_like(c)], -1)
+    mat_checker = b.add_material({0: img})
+    b.add_object(make_plane(4.0), b.add_material({}), deferred=True)
+    b.add_object(make_cube(1.0, center=(0, 0, 0.5)), mat_checker, deferred=True)
+    # one forward object
+    b.add_object(make_cube(0.4, center=(1.2, 0, 0.2)), mat_checker,
+                 deferred=False)
+    faces = np.zeros((6, cfg.cubemap_size, cfg.cubemap_size, 4), np.float32)
+    faces[..., 2] = 0.25
+    faces[..., 3] = 1
+    b.set_cubemap(faces)
+    scene, meta = b.build()
+
+    w = World()
+    w.main_camera = CameraDesc(
+        position=np.array([3.0, -3.0, 2.5], np.float32),
+        lookat=np.array([0.0, 0.0, 0.5], np.float32),
+    )
+    moon = np.array([20.0, 0.0, 20.0], np.float32)
+    w.directional_lights = [
+        LightDesc(position=moon, type=0,
+                  color=np.array([1.0, 0.95, 0.8], np.float32), intensity=4.0,
+                  direction=moon / np.linalg.norm(moon))
+    ]
+    w.point_lights = [
+        LightDesc(position=np.array([1.5, -1.0, 1.0], np.float32), type=1,
+                  color=np.array([1.0, 0.2, 0.1], np.float32), intensity=5.0,
+                  radius=3.0)
+    ]
+    view = build_view_state(w, cfg, light_capacities=(2, 2, 2),
+                            animate_point_lights=False)
+    return cfg, scene, meta, view
+
+
+def test_render_frame_basic(small_scene):
+    cfg, scene, meta, view = small_scene
+    color, aux = render_frame(scene, view, meta, cfg)
+    img = np.asarray(color)
+    assert img.shape == (cfg.height, cfg.width, 3)
+    assert np.isfinite(img).all()
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    # scene covers a meaningful part of the frame
+    cov = (np.asarray(aux["tri_id"]) >= 0).mean()
+    assert cov > 0.3
+    # forward object rendered on top
+    assert (np.asarray(aux["forward_tri_id"]) >= 0).any()
+    # the shadow map saw geometry
+    assert np.asarray(aux["shadowmap"]).min() < 1.0
+
+
+def test_shadow_darkens_ground(small_scene):
+    cfg, scene, meta, view = small_scene
+    _, aux = render_frame(scene, view, meta, cfg)
+    # Render debug view 8 (shadow factor): must contain both lit (1.0)
+    # and shadowed (~0.1-blend) pixels on covered geometry
+    view8 = view._replace(debug_view=jnp.int32(8))
+    sf, aux8 = render_frame(scene, view8, meta, cfg)
+    sf = np.asarray(sf)[..., 0]
+    covered = np.asarray(aux8["tri_id"]) >= 0
+    assert sf[covered].max() > 0.95
+    assert sf[covered].min() < 0.6
+
+
+def test_debug_views_distinct(small_scene):
+    cfg, scene, meta, view = small_scene
+    outs = {}
+    for dv in (0, 1, 2, 3, 4):
+        v = view._replace(debug_view=jnp.int32(dv))
+        img, _ = render_frame(scene, v, meta, cfg)
+        outs[dv] = np.asarray(img)
+    # final != basecolor != normal
+    assert np.abs(outs[0] - outs[1]).mean() > 1e-3
+    assert np.abs(outs[1] - outs[4]).mean() > 1e-3
+    # metallic view is ~black on covered pixels (default metallic = 0)
+    assert outs[2].mean() < 0.2
+
+
+def test_point_light_adds_energy(small_scene):
+    cfg, scene, meta, view = small_scene
+    img_with, _ = render_frame(scene, view, meta, cfg)
+    counts = np.asarray(view.lights_count)
+    view_no_pt = view._replace(
+        lights_count=jnp.asarray([counts[0], 0, counts[2], counts[3]],
+                                 jnp.int32)
+    )
+    img_without, _ = render_frame(scene, view_no_pt, meta, cfg)
+    assert np.asarray(img_with).mean() > np.asarray(img_without).mean()
+
+
+def test_sharded_matches_single_chip(small_scene):
+    """8-device row-sharded render matches single-device rendering.
+
+    Geometry/visibility are bit-exact (integer pixel offsets); the only
+    tolerated differences are PCF shadow-tap flips at penumbra edges,
+    where 1-ulp FMA/vectorization differences between band-shaped and
+    full-shaped kernels cross the razor-edge depth compare.
+    """
+    cfg, scene, meta, view = small_scene
+    from zeldaengine_tpu.parallel import make_tile_mesh, render_frame_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    color_1, aux1 = render_frame(scene, view, meta, cfg)
+    mesh = make_tile_mesh(jax.devices()[:8])
+    color_8 = render_frame_sharded(scene, view, meta, cfg, mesh)
+    d = np.abs(np.asarray(color_8) - np.asarray(color_1)).max(-1)
+    # a single PCF tap flip changes the factor by 0.9/25 = 0.036 which is
+    # < 0.1 after shading/gamma; more than that means a real bug
+    assert d.max() < 0.15, d.max()
+    assert (d > 1e-4).mean() < 0.05, (d > 1e-4).mean()
+    # visibility itself must be exact: compare depth buffers
+    # (not exposed via the sharded API; color agreement above covers it)

@@ -1,0 +1,69 @@
+"""PCF windowed implementation vs a direct per-tap reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from zeldaengine_tpu.ops.shadow import (
+    compute_pcf,
+    compute_shadow_coord,
+    SHADOW_IN_FACTOR,
+)
+
+
+def _naive_pcf(shadowmap, sc4, radius, scale, bias):
+    """Literal port of Common.glsl ComputePCF with nearest-texel taps."""
+    h, w = shadowmap.shape
+    sc = sc4 / sc4[3] if abs(sc4[3]) > 1e-20 else sc4
+    total, count = 0.0, 0
+    for i in range(-radius, radius + 1):
+        for j in range(-radius, radius + 1):
+            u = sc[0] + scale * i / w
+            v = sc[1] + scale * j / h
+            ix = int(np.floor(u * w)) % w
+            iy = int(np.floor(v * h)) % h
+            dist = shadowmap[iy, ix]
+            factor = 1.0
+            if -1.0 < sc[2] < 1.0 and sc[3] > 0.0 and dist < sc[2] - bias:
+                factor = SHADOW_IN_FACTOR
+            total += factor
+            count += 1
+    return total / count
+
+
+def test_pcf_matches_naive_taps(rng):
+    dim = 32
+    shadowmap = rng.uniform(0.3, 1.0, (dim, dim)).astype(np.float32)
+    n = 64
+    coords = np.zeros((n, 4), np.float32)
+    coords[:, 0] = rng.uniform(-0.2, 1.2, n)  # incl. out-of-range (wrap)
+    coords[:, 1] = rng.uniform(-0.2, 1.2, n)
+    coords[:, 2] = rng.uniform(0.2, 1.1, n)  # incl. z outside (-1,1) guard
+    coords[:, 3] = 1.0
+
+    got = np.asarray(
+        compute_pcf(jnp.asarray(shadowmap), jnp.asarray(coords), radius=2,
+                    scale=1.5, bias=1e-3)
+    )
+    want = np.array(
+        [_naive_pcf(shadowmap, c, 2, 1.5, 1e-3) for c in coords], np.float32
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_pcf_homogeneous_divide(rng):
+    dim = 16
+    shadowmap = np.full((dim, dim), 0.5, np.float32)
+    # w != 1: the coord is divided through before tapping
+    c = np.array([[0.5 * 2, 0.5 * 2, 0.9 * 2, 2.0]], np.float32)
+    got = float(np.asarray(compute_pcf(jnp.asarray(shadowmap),
+                                       jnp.asarray(c))))
+    # z/w = 0.9 > map 0.5 everywhere -> fully occluded
+    np.testing.assert_allclose(got, SHADOW_IN_FACTOR, atol=1e-6)
+
+
+def test_shadow_coord_bias_matrix():
+    space = np.eye(4, dtype=np.float32)
+    p = jnp.asarray(np.array([[0.0, 0.0, 0.5]], np.float32))
+    sc = np.asarray(compute_shadow_coord(jnp.asarray(space), p))[0]
+    # ndc (0,0) -> uv (0.5, 0.5); z passes through
+    np.testing.assert_allclose(sc, [0.5, 0.5, 0.5, 1.0], atol=1e-6)

@@ -25,9 +25,13 @@ class EngineConfig:
     shadowmap_dim: int = 1024
     pcf_radius: int = 2
     pcf_scale: float = 1.5  # texel scale inside ComputePCF (Common.glsl:326)
-    # Constant depth bias applied at shadow compare, standing in for the
-    # reference's vkCmdSetDepthBias(1.25, 0, 7.5) slope bias (:3280-3287).
-    shadow_bias: float = 5e-5
+    # Shadow depth bias, applied at shadow rasterization exactly like the
+    # reference's vkCmdSetDepthBias(1.25, 0, 7.5) (:3280-3287): written
+    # depth += slope * max|dz/dpixel| + constant * 2^-23. ``shadow_bias``
+    # is an extra compare-time constant (default off).
+    shadow_bias_constant: float = 1.25
+    shadow_bias_slope: float = 7.5
+    shadow_bias: float = 0.0
     # Radius of the procedural skydome sphere (the reference's skydome.obj
     # has a fixed modeled radius); must be < camera zFar to survive clip.
     skydome_radius: float = 30.0
@@ -58,7 +62,10 @@ class EngineConfig:
     # Rasterizer tiling (TPU lane-aligned: last dim a multiple of 128).
     tile_h: int = 32
     tile_w: int = 128
-    tri_chunk: int = 256  # triangles processed per rasterizer step
+    tri_chunk: int = 256
+    # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
+    raster: str = "auto"  # "auto" | "pallas" | "jnp"
+    sub_rows: int = 8  # triangles processed per rasterizer step
 
     # Rendering toggles (reference gates ENABLE_DEFERRED_SHADING etc.)
     enable_deferred: bool = True
@@ -103,7 +110,7 @@ class EngineConfig:
 TEST_CONFIG = EngineConfig(
     width=128,
     height=128,
-    shadowmap_dim=128,
+    shadowmap_dim=256,
     max_vertices=1 << 12,
     max_triangles=1 << 12,
     max_instances=256,

@@ -1,0 +1,218 @@
+"""The engine shell: interactive render loop with livelink hot-reload.
+
+Replaces XkZeldaEngineApp's Run/MainTick/DrawFrame (ZeldaEngine.cpp:1576,
+:1743, :1940) minus the OS window: frames are rendered offscreen and can be
+written to PNG or handed to a callback. Scene hot-swap from the TCP livelink
+re-flattens the world into new pools (the analogue of the full-fence
+CreateEngineScene at :1943-1951); jit re-use depends only on pool *shapes*,
+so same-capacity reloads don't recompile.
+
+The global-input surface (XkGlobalInput, :860-900) maps to methods:
+orbit(), zoom(), focus(), set_debug_view (keys 0-9), toggles for stage/light
+roll (M / L keys) and game mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, List, Optional
+
+import jax
+import numpy as np
+
+from zeldaengine_tpu.config import EngineConfig
+from zeldaengine_tpu.livelink.server import LivelinkServer
+from zeldaengine_tpu.passes.frame import render_frame
+from zeldaengine_tpu.passes.view import build_view_state
+from zeldaengine_tpu.scene.assets import build_scene_from_world
+from zeldaengine_tpu.scene.world import World, make_demo_world
+
+LOG = logging.getLogger("zeldaengine.engine")
+
+
+@dataclasses.dataclass
+class FrameStats:
+    """The ImGui stats panel, as data (SURVEY.md §5 observability)."""
+
+    frame_index: int = 0
+    frame_ms: float = 0.0
+    fps: float = 0.0
+    triangles: int = 0
+    reloads: int = 0
+
+
+class Engine:
+    def __init__(
+        self,
+        config: Optional[EngineConfig] = None,
+        world: Optional[World] = None,
+        asset_roots: Optional[List[str]] = None,
+        livelink_port: Optional[int] = 8080,
+    ):
+        self.config = config or EngineConfig()
+        self.world = world or make_demo_world()
+        self.asset_roots = asset_roots or []
+        self.scene = None
+        self.meta = None
+        self.stats = FrameStats()
+
+        # GlobalInput state (ZeldaEngine.cpp:860-900)
+        self.debug_view = 0
+        self.play_stage_roll = False
+        self.play_light_roll = False
+        self.roll_stage = 0.0
+        self.roll_light = 0.0
+        self._start_time = time.time()
+        self._last_time = self._start_time
+
+        self.server: Optional[LivelinkServer] = None
+        if livelink_port is not None:
+            self.server = LivelinkServer(port=livelink_port)
+
+        self._rebuild_scene()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def start(self) -> None:
+        if self.server is not None:
+            self.server.start()
+
+    def stop(self) -> None:
+        if self.server is not None:
+            self.server.stop()
+
+    def _rebuild_scene(self) -> None:
+        t0 = time.time()
+        self.scene, self.meta = build_scene_from_world(
+            self.world, self.config, roots=self.asset_roots
+        )
+        self.stats.triangles = self.meta.num_triangles
+        LOG.info(
+            "scene built: %d tris, %d pairs (%.2fs)",
+            self.meta.num_triangles,
+            self.meta.num_pairs,
+            time.time() - t0,
+        )
+
+    # ----------------------------------------------------------------- input
+
+    def set_debug_view(self, index: int) -> None:
+        """Keys 0-9 (KeyboardCallback, ZeldaEngine.cpp:1803-1842)."""
+        self.debug_view = int(np.clip(index, 0, 9))
+
+    def orbit(self, delta_yaw: float, delta_pitch: float) -> None:
+        self.world.main_camera.add_movement(delta_yaw, delta_pitch)
+
+    def zoom(self, delta: float) -> None:
+        self.world.main_camera.zoom(delta)
+
+    def toggle_stage_roll(self) -> None:  # 'M' key
+        self.play_stage_roll = not self.play_stage_roll
+
+    def toggle_light_roll(self) -> None:  # 'L' key
+        self.play_light_roll = not self.play_light_roll
+
+    # ----------------------------------------------------------------- frame
+
+    def tick(self) -> np.ndarray:
+        """One DrawFrame: poll livelink, update animation state, render."""
+        now = time.time()
+        dt = now - self._last_time
+        self._last_time = now
+
+        if self.server is not None:
+            raw = self.server.poll()
+            if raw is not None:
+                try:
+                    self.world.load(raw_data=raw)
+                    self._rebuild_scene()
+                    self.stats.reloads += 1
+                except Exception:  # noqa: BLE001 — bad JSON must not kill us
+                    LOG.exception("[WORLD] livelink reload failed")
+
+        if self.play_stage_roll:
+            self.roll_stage += dt * np.radians(15.0)  # :4612
+        if self.play_light_roll:
+            self.roll_light += dt  # :4603
+
+        view = build_view_state(
+            self.world,
+            self.config,
+            time=now - self._start_time,
+            roll_stage=self.roll_stage,
+            roll_light=self.roll_light,
+            debug_view=self.debug_view,
+        )
+        t0 = time.time()
+        color, _aux = render_frame(self.scene, view, self.meta, self.config)
+        img = np.asarray(color)  # fetch = the honest frame fence
+        frame_s = time.time() - t0
+        self.stats.frame_index += 1
+        self.stats.frame_ms = frame_s * 1000.0
+        self.stats.fps = 1.0 / max(frame_s, 1e-9)
+        return img
+
+    def run(
+        self,
+        frames: int = 0,
+        on_frame: Optional[Callable[[np.ndarray, FrameStats], None]] = None,
+    ) -> None:
+        """MainTick loop; frames=0 means run until interrupted."""
+        self.start()
+        try:
+            i = 0
+            while frames == 0 or i < frames:
+                img = self.tick()
+                if on_frame is not None:
+                    on_frame(img, self.stats)
+                i += 1
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="ZeldaEngine-TPU")
+    parser.add_argument("--world", type=str, default=None,
+                        help="path to a World.json")
+    parser.add_argument("--frames", type=int, default=60)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--out", type=str, default=None,
+                        help="write the last frame to this PNG")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--assets", type=str, nargs="*", default=None)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    config = EngineConfig(width=args.width, height=args.height)
+    world = None
+    if args.world:
+        world = World(file_path=args.world).load()
+    engine = Engine(config=config, world=world, asset_roots=args.assets,
+                    livelink_port=args.port)
+
+    last = {}
+
+    def on_frame(img, stats):
+        last["img"] = img
+        if stats.frame_index % 10 == 0:
+            LOG.info("frame %d: %.1f ms (%.1f fps), %d tris",
+                     stats.frame_index, stats.frame_ms, stats.fps,
+                     stats.triangles)
+
+    engine.run(frames=args.frames, on_frame=on_frame)
+    if args.out and "img" in last:
+        from zeldaengine_tpu.utils import write_png
+
+        write_png(args.out, last["img"])
+        LOG.info("wrote %s", args.out)
+
+
+if __name__ == "__main__":
+    main()

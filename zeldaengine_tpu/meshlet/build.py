@@ -127,6 +127,44 @@ def build_meshlets(
     positions = np.asarray(positions, np.float32)
     tris = np.asarray(indices, np.uint32).reshape(-1, 3)
 
+    # Fast path: the native C++ clusterizer (zeldaengine_tpu.native).
+    try:
+        from zeldaengine_tpu.native import build_meshlets_native
+
+        native = build_meshlets_native(
+            positions, tris, max_vertices=max_vertices,
+            max_triangles=max_triangles, spatial_sort=spatial_sort,
+        )
+    except Exception:  # noqa: BLE001 — fall back to the NumPy path
+        native = None
+    if native is not None:
+        recs, mv_arr, mt_arr = native
+        meshlets = [
+            Meshlet(
+                vertex_offset=int(r["vertex_offset"]),
+                vertex_count=int(r["vertex_count"]),
+                triangle_offset=int(r["triangle_offset"]),
+                triangle_count=int(r["triangle_count"]),
+                bounds_center=np.asarray(r["bounds_center"], np.float32),
+                bounds_radius=float(r["bounds_radius"]),
+                cone_apex=np.asarray(r["cone_apex"], np.float32),
+                cone_axis=np.asarray(r["cone_axis"], np.float32),
+                cone_cutoff=float(r["cone_cutoff"]),
+            )
+            for r in recs
+        ]
+        v = positions
+        n = normals if normals is not None else np.zeros_like(v)
+        t8 = uvs if uvs is not None else np.zeros((len(v), 2), np.float32)
+        verts8 = np.concatenate([v, n, t8], axis=1).astype(np.float32)
+        return MeshletSet(
+            meshlets=meshlets,
+            meshlet_vertices=mv_arr,
+            meshlet_triangles=mt_arr,
+            vertices=verts8,
+            indices=np.asarray(indices, np.uint32).reshape(-1),
+        )
+
     if spatial_sort and len(tris) > 1:
         cent = positions[tris].mean(axis=1)
         lo, hi = cent.min(0), cent.max(0)

@@ -47,6 +47,7 @@ def triangle_setup(
     height: int,
     two_sided: jnp.ndarray | bool = False,
     valid_mask: jnp.ndarray | None = None,
+    depth_bias: tuple | None = None,
 ) -> TriangleSetup:
     """Build edge/depth coefficients from clip-space triangle vertices.
 
@@ -58,6 +59,12 @@ def triangle_setup(
       two_sided: per-triangle bool (or scalar) — disable backface culling
         (EXkRenderFlags::TwoSided; pipeline cull mode, ZeldaEngine.cpp:5134).
       valid_mask: optional (T,) bool for padded/inactive triangles.
+      depth_bias: optional (constant_factor, slope_factor) — Vulkan-style
+        polygon depth bias applied at rasterization, as the shadow pass
+        does with vkCmdSetDepthBias(1.25, 0, 7.5) (ZeldaEngine.cpp:
+        3280-3287): written depth is offset by
+        slope_factor * max(|dz/dx|, |dz/dy|) + constant_factor * r,
+        with r = 2^-23 (D32_SFLOAT minimum resolvable difference).
     """
     clip = jnp.asarray(clip, jnp.float32)
     x, y, z, w = clip[..., 0], clip[..., 1], clip[..., 2], clip[..., 3]
@@ -106,6 +113,19 @@ def triangle_setup(
 
     keep = keep & (jnp.abs(det_scaled) > 1e-20)
 
+    if depth_bias is not None:
+        const_f, slope_f = depth_bias
+        # Screen-space depth gradient: depth(p) = dot(u, zc) with
+        # u = edge @ (px, py, 1)  =>  dz/dpx = sum_i zc_i * edge[i, 0].
+        zrow = jnp.einsum("ti,tij->tj", zc, edge,
+                          precision=jax.lax.Precision.HIGHEST)
+        slope = jnp.maximum(jnp.abs(zrow[..., 0]), jnp.abs(zrow[..., 1]))
+        bias = slope_f * slope + const_f * 1.1920929e-7
+        # Add a constant to the interpolated depth: with the scaled edges,
+        # sum(u_i * w_i) = det_scaled, so zc_i += bias * w_i / det_scaled
+        # shifts depth(p) by exactly bias.
+        zc = zc + (bias / safe_det)[..., None] * w
+
     # Conservative screen bbox of the visible region. If any w is near/behind
     # zero the projection is unbounded -> full screen.
     w_ok = jnp.all(w > 1e-6, axis=-1)
@@ -130,10 +150,21 @@ def triangle_setup(
     return TriangleSetup(edge=edge, zc=zc, valid=keep, bbox=bbox)
 
 
-def _pixel_grid(height: int, width: int, x0: float = 0.0, y0: float = 0.0):
-    """Pixel-center coordinates ((H,W) each), offset by an origin."""
-    py = jnp.arange(height, dtype=jnp.float32)[:, None] + (0.5 + y0)
-    px = jnp.arange(width, dtype=jnp.float32)[None, :] + (0.5 + x0)
+def _pixel_grid(height: int, width: int, x0=0, y0=0):
+    """Pixel-center coordinates ((H,W) each), offset by an origin.
+
+    Offsets are added in INTEGER pixel space before the float convert so a
+    row band at y0 produces bit-identical coordinates to the same rows of a
+    full-frame grid (required for sharded == single-chip exactness).
+    """
+    y0 = jnp.asarray(y0, jnp.int32)
+    x0 = jnp.asarray(x0, jnp.int32)
+    py = (jnp.arange(height, dtype=jnp.int32)[:, None] + y0).astype(
+        jnp.float32
+    ) + 0.5
+    px = (jnp.arange(width, dtype=jnp.int32)[None, :] + x0).astype(
+        jnp.float32
+    ) + 0.5
     return jnp.broadcast_to(px, (height, width)), jnp.broadcast_to(py, (height, width))
 
 
@@ -166,6 +197,7 @@ def rasterize_visibility(
     width: int,
     chunk: int = 64,
     init_depth: jnp.ndarray | None = None,
+    y0=0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rasterize to a visibility buffer.
 
@@ -181,7 +213,7 @@ def rasterize_visibility(
     valid = jnp.pad(setup.valid, ((0, pad),))
     n_chunks = edge.shape[0] // chunk
 
-    px, py = _pixel_grid(height, width)
+    px, py = _pixel_grid(height, width, y0=y0)
 
     def body(carry, chunk_idx):
         best_depth, best_tri = carry
@@ -210,6 +242,7 @@ def rasterize_depth(
     height: int,
     width: int,
     chunk: int = 64,
+    y0=0.0,
 ) -> jnp.ndarray:
     """Depth-only rasterization (the shadowmap pass, XkShadowmapPass
     ZeldaEngine.cpp:1372/:3239). Returns (H, W) float32, clear = 1.0."""
@@ -220,7 +253,7 @@ def rasterize_depth(
     valid = jnp.pad(setup.valid, ((0, pad),))
     n_chunks = edge.shape[0] // chunk
 
-    px, py = _pixel_grid(height, width)
+    px, py = _pixel_grid(height, width, y0=y0)
 
     def body(best_depth, chunk_idx):
         sl = chunk_idx * chunk
@@ -236,7 +269,8 @@ def rasterize_depth(
 
 
 def interpolation_coeffs(setup: TriangleSetup, tri_id: jnp.ndarray,
-                         height: int, width: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                         height: int, width: int,
+                         y0=0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel perspective-correct barycentrics from a visibility buffer.
 
     Gathers the winning triangle's edge coefficients and normalizes:
@@ -245,7 +279,7 @@ def interpolation_coeffs(setup: TriangleSetup, tri_id: jnp.ndarray,
     covered = tri_id >= 0
     safe_id = jnp.maximum(tri_id, 0)
     e = setup.edge[safe_id]  # (H, W, 3, 3)
-    px, py = _pixel_grid(height, width)
+    px, py = _pixel_grid(height, width, y0=y0)
     u = e[..., 0] * px[..., None] + e[..., 1] * py[..., None] + e[..., 2]
     esum = jnp.sum(u, axis=-1, keepdims=True)
     bary = u / jnp.where(jnp.abs(esum) > 1e-20, esum, 1.0)

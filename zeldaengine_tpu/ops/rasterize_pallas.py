@@ -1,0 +1,269 @@
+"""Pallas TPU tiled rasterizer — the performance path.
+
+Replaces the jnp chunked rasterizer (ops/rasterize.py) for the hot passes.
+Same math (homogeneous edge functions from ``triangle_setup``), different
+schedule:
+
+- The screen is cut into (tile_h, tile_w) tiles; triangles are grouped into
+  lane-sized chunks (pre-sorted spatially at scene build so chunks are
+  compact).
+- **Binning** happens in XLA before the kernel: a per-(tile, chunk) active
+  bit from bbox overlap (computed as a per-chunk OY^T @ OX matmul — no
+  giant boolean tensors), plus a "resident chunk" index table so inactive
+  grid steps re-reference the already-loaded chunk block (no DMA).
+- The kernel grid is (n_tiles, n_chunks); the per-tile z/tri-id buffers
+  live in the *output* blocks, which Mosaic keeps resident in VMEM across
+  the chunk dimension (same output index) — the z-buffer never round-trips
+  to HBM during a tile's lifetime.
+- Inside an active step, pixels ride the sublane axis and triangles the
+  lane axis: ``e = px_col * c_row + ...`` — pure broadcast FMAs, no
+  transposes, min/argmin are lane reductions.
+
+Depth is a single linear form per triangle (z/w is screen-linear):
+``zrow = sum_i zc_i * edge_i`` folded at setup time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zeldaengine_tpu.ops.rasterize import TriangleSetup
+
+NO_HIT = 3.0e38  # plain float: jnp constants may not be captured by kernels
+
+
+class ChunkedTriangles(NamedTuple):
+    records: jnp.ndarray  # (n_chunks, 16, K) float32 coefficient rows
+    active: jnp.ndarray  # (n_tiles, n_chunks) int32 bbox-overlap bits
+    resident: jnp.ndarray  # (n_tiles, n_chunks) int32 chunk to keep loaded
+    n_tris: int
+
+
+def build_chunks(
+    setup: TriangleSetup,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+) -> ChunkedTriangles:
+    """Pack a TriangleSetup into chunked records + binning tables."""
+    edge = setup.edge
+    t = edge.shape[0]
+    pad = (-t) % chunk
+    n_tx = -(-width // tile_w)
+    n_ty = -(-height // tile_h)
+
+    # Depth as one linear form: zrow_j = sum_i zc_i * edge[i, j]
+    zrow = jnp.einsum("ti,tij->tj", setup.zc, edge,
+                      precision=jax.lax.Precision.HIGHEST)
+
+    # Invalid triangles: replace with a never-hit record (e2 const = -1).
+    never = jnp.zeros((16,), jnp.float32).at[2].set(-1.0).at[5].set(-1.0) \
+        .at[8].set(-1.0)
+    rec = jnp.concatenate(
+        [
+            edge.reshape(t, 9),
+            zrow,
+            jnp.zeros((t, 4), jnp.float32),
+        ],
+        axis=1,
+    )  # (T, 16)
+    rec = jnp.where(setup.valid[:, None], rec, never[None, :])
+    rec = jnp.pad(rec, ((0, pad), (0, 0)),
+                  constant_values=0.0)
+    if pad:
+        rec = rec.at[t:, 2].set(-1.0)
+    n_chunks = rec.shape[0] // chunk
+    records = rec.reshape(n_chunks, chunk, 16).transpose(0, 2, 1)
+
+    # Binning: bbox -> tile overlap bits.
+    bbox = jnp.pad(setup.bbox, ((0, pad), (0, 0)))
+    tx0 = jnp.floor(bbox[:, 0] / tile_w)
+    ty0 = jnp.floor(bbox[:, 1] / tile_h)
+    tx1 = jnp.ceil(bbox[:, 2] / tile_w) - 1.0
+    ty1 = jnp.ceil(bbox[:, 3] / tile_h) - 1.0
+    xs = jnp.arange(n_tx, dtype=jnp.float32)
+    ys = jnp.arange(n_ty, dtype=jnp.float32)
+    ox = ((xs[None, :] >= tx0[:, None]) & (xs[None, :] <= tx1[:, None]))
+    oy = ((ys[None, :] >= ty0[:, None]) & (ys[None, :] <= ty1[:, None]))
+    ox = ox.astype(jnp.float32).reshape(n_chunks, chunk, n_tx)
+    oy = oy.astype(jnp.float32).reshape(n_chunks, chunk, n_ty)
+    # count[c, ty, tx] = sum_k oy * ox  -> active iff > 0
+    counts = jnp.einsum("cky,ckx->cyx", oy, ox,
+                        precision=jax.lax.Precision.DEFAULT)
+    active = (counts > 0.5).transpose(1, 2, 0).reshape(n_ty * n_tx, n_chunks)
+
+    idx = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+    marked = jnp.where(active, idx, -1)
+    resident = jax.lax.cummax(marked, axis=1)
+    resident = jnp.maximum(resident, 0)
+
+    return ChunkedTriangles(
+        records=records,
+        active=active.astype(jnp.int32),
+        resident=resident.astype(jnp.int32),
+        n_tris=t,
+    )
+
+
+def _vis_kernel(
+    active_ref,
+    resident_ref,
+    tri_ref,
+    init_ref,
+    depth_ref,
+    tid_ref,
+    *,
+    chunk: int,
+    tile_h: int,
+    tile_w: int,
+    n_tx: int,
+    sub_rows: int,
+    depth_only: bool,
+):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        depth_ref[:, :] = init_ref[:, :]
+        if not depth_only:
+            tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    @pl.when(active_ref[t, c] > 0)
+    def _raster():
+        ty = t // n_tx
+        tx = t % n_tx
+        base_x = (tx * tile_w).astype(jnp.int32)
+        base_y = (ty * tile_h).astype(jnp.int32)
+        tri = tri_ref[0]  # (16, K)
+
+        c_base = c * chunk
+        n_sub = tile_h // sub_rows
+        p_sub = sub_rows * tile_w
+
+        for s in range(n_sub):
+            # Pixel coords: sublane axis = flattened (sub_rows, tile_w).
+            lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
+            px = (base_x + jnp.mod(lin, tile_w)).astype(jnp.float32) + 0.5
+            py = (
+                base_y + s * sub_rows + lin // tile_w
+            ).astype(jnp.float32) + 0.5
+
+            def form(r):
+                return (
+                    px * tri[r : r + 1, :]
+                    + py * tri[r + 1 : r + 2, :]
+                    + tri[r + 2 : r + 3, :]
+                )  # (p_sub, K)
+
+            e0 = form(0)
+            e1 = form(3)
+            e2 = form(6)
+            d = form(9)
+            esum = e0 + e1 + e2
+            inside = (
+                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (esum > 0.0)
+                & (d >= 0.0) & (d <= 1.0)
+            )
+            cand = jnp.where(inside, d, NO_HIT)
+            best = jnp.min(cand, axis=1)  # (p_sub,)
+            cur = depth_ref[
+                pl.ds(s * sub_rows, sub_rows), :
+            ].reshape(p_sub)
+            take = best < cur
+            new_depth = jnp.where(take, best, cur).reshape(sub_rows, tile_w)
+            depth_ref[pl.ds(s * sub_rows, sub_rows), :] = new_depth
+            if not depth_only:
+                arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
+                gid = c_base + arg
+                cur_t = tid_ref[
+                    pl.ds(s * sub_rows, sub_rows), :
+                ].reshape(p_sub)
+                new_t = jnp.where(take, gid, cur_t).reshape(
+                    sub_rows, tile_w
+                )
+                tid_ref[pl.ds(s * sub_rows, sub_rows), :] = new_t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "tile_h", "tile_w", "chunk", "sub_rows",
+        "depth_only",
+    ),
+)
+def rasterize_pallas(
+    chunks: ChunkedTriangles,
+    height: int,
+    width: int,
+    init_depth: jnp.ndarray | None = None,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    chunk: int = 256,
+    sub_rows: int = 8,
+    depth_only: bool = False,
+):
+    """Rasterize chunked triangles to (depth, tri_id) visibility buffers.
+
+    height/width must be multiples of tile_h/tile_w (pad the target).
+    Returns (depth (H, W) f32 with clear=1.0, tid (H, W) i32 with -1) or
+    just depth when ``depth_only``.
+    """
+    n_tx = width // tile_w
+    n_ty = height // tile_h
+    n_tiles = n_ty * n_tx
+    n_chunks = chunks.records.shape[0]
+    assert chunks.active.shape == (n_tiles, n_chunks), (
+        chunks.active.shape, (n_tiles, n_chunks))
+
+    if init_depth is None:
+        init_depth = jnp.ones((height, width), jnp.float32)
+
+    kernel = functools.partial(
+        _vis_kernel,
+        chunk=chunk,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        n_tx=n_tx,
+        sub_rows=sub_rows,
+        depth_only=depth_only,
+    )
+
+    def tile_index(t, c, active, resident):
+        return (t // n_tx, t % n_tx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 16, chunk),
+                lambda t, c, active, resident: (resident[t, c], 0, 0),
+            ),
+            pl.BlockSpec((tile_h, tile_w), tile_index),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_h, tile_w), tile_index),
+            pl.BlockSpec((tile_h, tile_w), tile_index),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+        jax.ShapeDtypeStruct((height, width), jnp.int32),
+    )
+    depth, tid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+    )(chunks.active, chunks.resident, chunks.records, init_depth)
+    if depth_only:
+        return depth
+    return depth, tid

@@ -56,16 +56,28 @@ def compute_pcf(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                 radius: int = 2, scale: float = 1.5, bias: float = 0.0):
     """ComputePCF (Common.glsl:323-342): (2r+1)^2 taps at ``scale`` texel
     spacing, averaged. ``shadow_coord`` is the homogeneous coord (divided by
-    w here, matching the call sites Base.frag:67 / BaseLighting.frag:178)."""
+    w here, matching the call sites Base.frag:67 / BaseLighting.frag:178).
+
+    Taps use flattened 1D gathers (measurably faster on TPU than 2D)."""
     w = shadow_coord[..., 3, None]
     sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
     dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
-    dx = scale / dim_x
-    dy = scale / dim_y
+    flat = shadowmap.reshape(-1)
+    z = sc[..., 2]
+    w_post = sc[..., 3]
+    in_range = (z > -1.0) & (z < 1.0) & (w_post > 0.0)
+    z_cmp = z - bias
+    fx = sc[..., 0] * dim_x
+    fy = sc[..., 1] * dim_y
     total = 0.0
     count = 0
-    for ox in range(-radius, radius + 1):
-        for oy in range(-radius, radius + 1):
-            total = total + _shadow_tap(shadowmap, sc, dx * ox, dy * oy, bias)
+    for oy in range(-radius, radius + 1):
+        iy = jnp.mod(jnp.floor(fy + scale * oy).astype(jnp.int32), dim_y)
+        base = iy * dim_x
+        for ox in range(-radius, radius + 1):
+            ix = jnp.mod(jnp.floor(fx + scale * ox).astype(jnp.int32), dim_x)
+            dist = flat[base + ix]
+            occluded = in_range & (dist < z_cmp)
+            total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
             count += 1
     return total / count

@@ -33,6 +33,7 @@ from zeldaengine_tpu.ops.rasterize import (
     rasterize_visibility,
     rasterize_depth,
 )
+from zeldaengine_tpu.ops.rasterize_pallas import build_chunks, rasterize_pallas
 from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
 from zeldaengine_tpu.ops.texture import sample_base, sample_trilinear
 from zeldaengine_tpu.passes.gbuffer import (
@@ -42,6 +43,58 @@ from zeldaengine_tpu.passes.gbuffer import (
     surface_attributes,
 )
 from zeldaengine_tpu.scene.scenebuild import GpuScene, SceneMeta
+
+
+def _use_pallas(config: EngineConfig, band: bool) -> bool:
+    """Pallas tiled kernel on TPU full-frame paths; jnp elsewhere (CPU
+    tests, row-banded multi-chip path — band support lands with the kernel's
+    y0 offset)."""
+    if config.raster == "jnp" or band:
+        return False
+    if config.raster == "pallas":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pad_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
+                y0=0, band: bool = False):
+    """Visibility raster with automatic backend choice + tile padding."""
+    if _use_pallas(config, band):
+        ph = _pad_up(height, config.tile_h)
+        pw = _pad_up(width, config.tile_w)
+        if init_depth is not None and (ph != height or pw != width):
+            init_depth = jnp.pad(
+                init_depth, ((0, ph - height), (0, pw - width)),
+                constant_values=1.0,
+            )
+        chunks = build_chunks(setup, pw, ph, config.tile_h, config.tile_w,
+                              config.tri_chunk)
+        depth, tid = rasterize_pallas(
+            chunks, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
+            tile_w=config.tile_w, chunk=config.tri_chunk,
+            sub_rows=config.sub_rows,
+        )
+        return depth[:height, :width], tid[:height, :width]
+    return rasterize_visibility(
+        setup, height, width, chunk=config.tri_chunk, init_depth=init_depth,
+        y0=y0,
+    )
+
+
+def _raster_depth(setup, dim, config: EngineConfig, y0=0, band: bool = False):
+    if _use_pallas(config, band):
+        chunks = build_chunks(setup, dim, dim, config.tile_h, config.tile_w,
+                              config.tri_chunk)
+        return rasterize_pallas(
+            chunks, dim, dim, tile_h=config.tile_h, tile_w=config.tile_w,
+            chunk=config.tri_chunk, sub_rows=config.sub_rows,
+            depth_only=True,
+        )
+    return rasterize_depth(setup, dim, dim, chunk=config.tri_chunk, y0=y0)
 
 
 def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig):
@@ -70,7 +123,7 @@ def _debug_switch(debug_view, final, attrs: SurfaceAttributes, shadow_factor,
         lambda: c(attrs.vertex_color),
         lambda: c(reflection),
         lambda: c(shadow_factor),
-        (lambda: extra_case9) if extra_case9 is not None else (lambda: final),
+        extra_case9 if extra_case9 is not None else (lambda: final),
     ]
     return jax.lax.switch(jnp.clip(debug_view, 0, 9), branches)
 
@@ -156,7 +209,7 @@ def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
 
 
 def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
-                     config: EngineConfig):
+                     config: EngineConfig, enable_vis: bool = True):
     """BaseLighting.frag main(): unpack GBuffer, light, debug switch."""
     base_color = gbuf.gbuffer_c[..., :3]
     metallic = pbr.saturate(gbuf.gbuffer_b[..., 0])
@@ -190,10 +243,18 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
         emissive=emissive,
         mask=mask,
     )
-    vis = _gbuffer_vis(gbuf, shadowmap, final, view, config, scene.cube_atlas)
+    if enable_vis:
+        # Lazy: GBufferVis (its own PCF + cubemap taps) must only run when
+        # debug view 9 is selected, so it lives inside the switch branch.
+        def vis_thunk():
+            return _gbuffer_vis(gbuf, shadowmap, final, view, config,
+                                scene.cube_atlas)
+    else:
+        def vis_thunk():
+            return final
     return _debug_switch(
         view.debug_view, final, attrs, shadow_factor, lit["reflection"],
-        extra_case9=vis,
+        extra_case9=vis_thunk,
     )
 
 
@@ -209,7 +270,7 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(
         view.debug_view, final, attrs, shadow_factor, lit["reflection"],
-        extra_case9=final,
+        extra_case9=None,
     )
 
 
@@ -221,7 +282,32 @@ def render_frame(
     config: EngineConfig,
 ):
     """Render one frame. Returns (image (H, W, 3) float32 in [0,1], aux)."""
-    height, width = config.height, config.width
+    return render_rows(scene, view, meta, config)
+
+
+def render_rows(
+    scene: GpuScene,
+    view,
+    meta: SceneMeta,
+    config: EngineConfig,
+    y0=0.0,
+    rows: Optional[int] = None,
+    shadow_rows=None,
+    full_frame: bool = True,
+):
+    """Row-band renderer: rasterize/shade pixel rows [y0, y0+rows).
+
+    The multi-chip path (parallel/tiles.py) shard_maps this over a device
+    mesh with ``y0 = axis_index * rows``; the shadowmap can be computed
+    sharded and all-gathered by passing ``shadow_rows=(sy0, s_rows,
+    gather_fn)``. ``full_frame=False`` disables the GBufferVis contact sheet
+    (it needs cross-row gathers).
+    """
+    width = config.width
+    height = rows if rows is not None else config.height
+    # NDC -> pixel mapping always uses the FULL viewport; ``height`` only
+    # sizes the rasterized row band.
+    vp_h = config.height
 
     # ---- vertex stage (Base.vert / BaseInstanced.vert / Shadowmap*.vert)
     world = apply_mat4_point(view.model, scene.pair_pos)
@@ -242,11 +328,21 @@ def render_frame(
             config.shadowmap_dim,
             two_sided=True,
             valid_mask=scene.tri_valid,
+            depth_bias=(config.shadow_bias_constant,
+                        config.shadow_bias_slope),
         )
-        shadowmap = rasterize_depth(
-            setup_sh, config.shadowmap_dim, config.shadowmap_dim,
-            chunk=config.tri_chunk,
-        )
+        if shadow_rows is not None:
+            sy0, s_rows, gather_fn = shadow_rows
+            shadow_band = rasterize_depth(
+                setup_sh, s_rows, config.shadowmap_dim,
+                chunk=config.tri_chunk, y0=sy0,
+            )
+            shadowmap = gather_fn(shadow_band)
+        else:
+            shadowmap = _raster_depth(
+                setup_sh, config.shadowmap_dim, config,
+                band=not full_frame,
+            )
     else:
         shadowmap = jnp.zeros(
             (config.shadowmap_dim, config.shadowmap_dim), jnp.float32
@@ -254,33 +350,48 @@ def render_frame(
         shadowmap = shadowmap + 1.0
 
     # ---- 2. deferred scene -> GBuffer
-    setup = triangle_setup(
-        tri_clip, width, height,
-        two_sided=scene.tri_two_sided,
-        valid_mask=scene.tri_valid & scene.tri_deferred,
-    )
-    depth_d, tid_d = rasterize_visibility(
-        setup, height, width, chunk=config.tri_chunk
-    )
-    attrs_d = surface_attributes(scene, setup, tid_d, world, n_world, config)
-    gbuf = pack_gbuffer(attrs_d, depth_d)
-
-    # ---- 4a. deferred lighting (fullscreen, no depth test)
-    color = resolve_lighting(gbuf, shadowmap, scene, view, config)
+    if meta.has_deferred:
+        setup = triangle_setup(
+            tri_clip, width, vp_h,
+            two_sided=scene.tri_two_sided,
+            valid_mask=scene.tri_valid & scene.tri_deferred,
+        )
+        depth_d, tid_d = _raster_vis(
+            setup, height, width, config, y0=y0, band=not full_frame
+        )
+        attrs_d = surface_attributes(
+            scene, setup, tid_d, world, n_world, config, y0=y0
+        )
+        gbuf = pack_gbuffer(attrs_d, depth_d)
+        # ---- 4a. deferred lighting (fullscreen, no depth test)
+        color = resolve_lighting(gbuf, shadowmap, scene, view, config,
+                                 enable_vis=full_frame)
+        tid_d_out = tid_d
+    else:
+        depth_d = jnp.ones((height, width), jnp.float32)
+        tid_d_out = jnp.full((height, width), -1, jnp.int32)
+        color = jnp.zeros((height, width, 3), jnp.float32)
 
     # ---- 4b. forward objects (z-test against the copied scene depth)
-    setup_f = triangle_setup(
-        tri_clip, width, height,
-        two_sided=scene.tri_two_sided,
-        valid_mask=scene.tri_valid & (~scene.tri_deferred),
-    )
-    depth, tid_f = rasterize_visibility(
-        setup_f, height, width, chunk=config.tri_chunk, init_depth=depth_d
-    )
-    fwd_mask = tid_f >= 0
-    attrs_f = surface_attributes(scene, setup_f, tid_f, world, n_world, config)
-    fwd_color = forward_shade(attrs_f, shadowmap, scene, view, config)
-    color = jnp.where(fwd_mask[..., None], fwd_color, color)
+    if meta.has_forward:
+        setup_f = triangle_setup(
+            tri_clip, width, vp_h,
+            two_sided=scene.tri_two_sided,
+            valid_mask=scene.tri_valid & (~scene.tri_deferred),
+        )
+        depth, tid_f = _raster_vis(
+            setup_f, height, width, config, init_depth=depth_d, y0=y0,
+            band=not full_frame,
+        )
+        fwd_mask = tid_f >= 0
+        attrs_f = surface_attributes(
+            scene, setup_f, tid_f, world, n_world, config, y0=y0
+        )
+        fwd_color = forward_shade(attrs_f, shadowmap, scene, view, config)
+        color = jnp.where(fwd_mask[..., None], fwd_color, color)
+    else:
+        depth = depth_d
+        tid_f = jnp.full((height, width), -1, jnp.int32)
 
     show_env = view.debug_view == 0  # :3682/:3693 skip when debug view != 0
 
@@ -289,16 +400,18 @@ def render_frame(
         sky_world = apply_mat4_point(view.model, scene.sky_pos)
         sky_clip = apply_mat4_h(view.view_proj, sky_world)
         setup_sky = triangle_setup(
-            sky_clip[scene.sky_tri], width, height, two_sided=True
+            sky_clip[scene.sky_tri], width, vp_h, two_sided=True
         )
-        depth_sky, tid_sky = rasterize_visibility(
-            setup_sky, height, width, chunk=config.tri_chunk, init_depth=depth
+        depth_sky, tid_sky = _raster_vis(
+            setup_sky, height, width, config, init_depth=depth, y0=y0,
+            band=not full_frame,
         )
         sky_mask = (tid_sky >= 0) & show_env
         # interpolate uv and sample the equirect skydome texture
         from zeldaengine_tpu.ops.rasterize import interpolation_coeffs
 
-        bary, _ = interpolation_coeffs(setup_sky, tid_sky, height, width)
+        bary, _ = interpolation_coeffs(setup_sky, tid_sky, height, width,
+                                       y0=y0)
         uv = jnp.einsum(
             "hwk,hwkc->hwc", bary, scene.sky_uv[scene.sky_tri[jnp.maximum(tid_sky, 0)]]
         )
@@ -312,7 +425,8 @@ def render_frame(
 
     # ---- 4d. background (fullscreen rect at z=1, LESS_OR_EQUAL)
     if meta.enable_background and config.enable_background:
-        yy = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height
+        yy = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5 + y0) \
+            / config.height
         xx = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
         uv = jnp.stack(
             [jnp.broadcast_to(xx, (height, width)),
@@ -332,7 +446,7 @@ def render_frame(
         "depth": depth,
         "shadowmap": shadowmap,
         "gbuffer_depth": depth_d,
-        "tri_id": tid_d,
+        "tri_id": tid_d_out,
         "forward_tri_id": tid_f,
     }
     return color, aux

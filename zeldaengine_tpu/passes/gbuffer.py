@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from zeldaengine_tpu.config import EngineConfig
@@ -47,18 +48,40 @@ def surface_attributes(
     pair_world: jnp.ndarray,
     pair_normal_world: jnp.ndarray,
     config: EngineConfig,
+    y0=0.0,
 ) -> SurfaceAttributes:
-    """Resolve per-pixel surface attributes from a visibility buffer."""
+    """Resolve per-pixel surface attributes from a visibility buffer.
+
+    Gather-lean layout: one (1,4) gather for triangle meta, one (1,3,3)
+    gather for edge coefficients, one (1,8) gather per corner for static
+    attributes (uv+color) and one for dynamic attributes (world pos +
+    normal), then 4 texture samples (basecolor / normal / emissive /
+    packed-M/R/AO/Mask composite).
+    """
     height, width = tri_id.shape
     covered = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
-    v_idx = scene.tri_vtx[tid]  # (H, W, 3)
-    mat_id = scene.tri_mat[tid]  # (H, W)
+    # One 16-wide record gather per pixel: edge coefficients (9 floats) +
+    # bitcast triangle meta (v0, v1, v2, material).
+    n_t = setup.edge.shape[0]
+    rec = jnp.concatenate(
+        [
+            setup.edge.reshape(n_t, 9),
+            jax.lax.bitcast_convert_type(
+                scene.tri_meta[:n_t], jnp.float32
+            ),
+            jnp.zeros((n_t, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+    r = rec[tid]  # (H, W, 16)
+    edge = r[..., :9].reshape(height, width, 3, 3)
+    meta_i = jax.lax.bitcast_convert_type(r[..., 9:13], jnp.int32)
+    v_idx = meta_i[..., :3]
+    mat_id = meta_i[..., 3]
 
-    # Perspective-correct barycentrics + analytic screen derivatives.
-    edge = setup.edge[tid]  # (H, W, 3, 3)
-    px, py = _pixel_grid(height, width)
+    px, py = _pixel_grid(height, width, y0=y0)
     u = edge[..., 0] * px[..., None] + edge[..., 1] * py[..., None] + edge[..., 2]
     esum = jnp.sum(u, axis=-1)
     inv = 1.0 / jnp.where(jnp.abs(esum) > 1e-20, esum, 1.0)
@@ -69,23 +92,36 @@ def surface_attributes(
     dbary_dx = (ax - bary * jnp.sum(ax, -1, keepdims=True)) * inv[..., None]
     dbary_dy = (ay - bary * jnp.sum(ay, -1, keepdims=True)) * inv[..., None]
 
-    def interp(attr_pool):  # (P, C) -> (H, W, C)
-        vals = attr_pool[v_idx]  # (H, W, 3, C)
-        return jnp.einsum("hwk,hwkc->hwc", bary, vals)
+    # One combined 16-wide attribute pool: static (uv, color) + dynamic
+    # (world pos, world normal) — one gather per triangle corner.
+    pair_all = jnp.concatenate(
+        [
+            scene.pair_static[:, :5],  # uv(2) col(3)
+            pair_world,  # (3)
+            pair_normal_world,  # (3)
+            jnp.zeros((pair_world.shape[0], 5), pair_world.dtype),
+        ],
+        axis=1,
+    )  # (P, 16)
+    corners = pair_all[v_idx]  # (H, W, 3, 16)
 
-    def deriv(attr_pool, d):
-        vals = attr_pool[v_idx]
-        return jnp.einsum("hwk,hwkc->hwc", d, vals)
+    def mix(weights):
+        # fp32: TPU einsum defaults to bf16, far too coarse for world-space
+        # positions feeding the shadow compare.
+        return jnp.einsum("hwk,hwkc->hwc", weights, corners,
+                          precision=jax.lax.Precision.HIGHEST)
 
-    world_pos = interp(pair_world)
-    frag_normal = interp(pair_normal_world)
-    vertex_color = interp(scene.pair_col)
-    uv = interp(scene.pair_uv)
-
-    dpos_dx = deriv(pair_world, dbary_dx)
-    dpos_dy = deriv(pair_world, dbary_dy)
-    duv_dx = deriv(scene.pair_uv, dbary_dx)
-    duv_dy = deriv(scene.pair_uv, dbary_dy)
+    a_i = mix(bary)
+    a_dx = mix(dbary_dx)
+    a_dy = mix(dbary_dy)
+    uv = a_i[..., 0:2]
+    vertex_color = a_i[..., 2:5]
+    world_pos = a_i[..., 5:8]
+    frag_normal = a_i[..., 8:11]
+    dpos_dx = a_dx[..., 5:8]
+    dpos_dy = a_dy[..., 5:8]
+    duv_dx = a_dx[..., 0:2]
+    duv_dy = a_dy[..., 0:2]
 
     # Texture LOD from the analytic uv footprint (texture() semantics).
     ts = float(config.texture_size)
@@ -95,20 +131,19 @@ def surface_attributes(
     lod = 0.5 * jnp.log2(jnp.maximum(foot * ts * ts, 1e-12))
     lod = jnp.maximum(lod, 0.0)
 
-    layers = scene.mat_tex[mat_id]  # (H, W, 7)
-
-    def tex(slot):
-        return sample_trilinear(
-            scene.tex_atlas, layers[..., slot], uv, lod, config.texture_size
-        )
-
-    base_color = tex(0)[..., :3]
-    metallic = pbr.saturate(tex(1)[..., 0])
-    roughness = jnp.maximum(0.01, pbr.saturate(tex(2)[..., 0]))
-    tex_normal = tex(3)[..., :3]
-    ao = tex(4)[..., 0]
-    emissive = tex(5)[..., :3]
-    mask = tex(6)[..., 0]
+    # ONE trilinear sample of the 16-channel supertexture returns every
+    # material texture's texel (8 tap gathers total for all of them).
+    combo = scene.mat_combined[mat_id]  # (H, W)
+    texels = sample_trilinear(
+        scene.combined_atlas, combo, uv, lod, config.texture_size
+    )  # (H, W, 16)
+    base_color = texels[..., 0:3]
+    tex_normal = texels[..., 3:6]
+    emissive = texels[..., 6:9]
+    metallic = pbr.saturate(texels[..., 9])
+    roughness = jnp.maximum(0.01, pbr.saturate(texels[..., 10]))
+    ao = texels[..., 11]
+    mask = texels[..., 12]
 
     normal = pbr.compute_tangent_normal(
         dpos_dx, dpos_dy, duv_dx, duv_dy, frag_normal, tex_normal

@@ -39,7 +39,28 @@ class Mesh:
 
 
 def load_obj(path: str) -> Mesh:
-    """Minimal OBJ parser (v / vn / vt / f) with triangulation + dedup."""
+    """OBJ parser (v / vn / vt / f) with triangulation + dedup.
+
+    Uses the native C++ loader when available, with a pure-Python
+    fallback (identical semantics)."""
+    try:
+        from zeldaengine_tpu.native import load_obj_native
+
+        native = load_obj_native(path)
+    except Exception:  # noqa: BLE001
+        native = None
+    if native is not None:
+        pos, nrm, uv, idx = native
+        mesh = Mesh(
+            positions=pos,
+            normals=nrm,
+            colors=np.ones((pos.shape[0], 3), np.float32),
+            uvs=uv,
+            indices=idx,
+        )
+        if not np.abs(nrm).any():
+            _compute_normals_inplace(mesh)
+        return mesh
     positions, normals, uvs = [], [], []
     face_tuples = []  # (vi, ti, ni) per corner
     with open(path, "r", errors="replace") as f:

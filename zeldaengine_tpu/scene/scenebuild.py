@@ -96,8 +96,24 @@ class GpuScene(NamedTuple):
     tri_deferred: jnp.ndarray  # (T,) bool: deferred (True) vs forward
     tri_valid: jnp.ndarray  # (T,) bool
 
+    # packed hot-path attribute pools (one gather each in the deferred
+    # attribute pass)
+    pair_static: jnp.ndarray  # (P, 8) f32: uv(2), color(3), pad(3)
+    tri_meta: jnp.ndarray  # (T, 4) i32: v0, v1, v2, material
+
     # materials + textures
     mat_tex: jnp.ndarray  # (M, 7) int32 texture layers per PBR slot
+    # (M, 4) int32: basecolor, normal, emissive, packed(M/R/AO/Mask) —
+    # scalar slots composited into one RGBA texture at build time so the
+    # GBuffer pass does 4 texture samples instead of 7.
+    mat_packed: jnp.ndarray
+    # The gather-optimal layout: per unique material texture-combo, ONE
+    # 16-channel supertexture mip atlas [bc.rgb, nrm.rgb, em.rgb,
+    # metallic, roughness, ao, mask, pad*3] — a TPU gather costs per
+    # index, not per byte, so one 16-wide row fetch returns every
+    # texture's texel at once.
+    mat_combined: jnp.ndarray  # (M,) int32 -> combined_atlas layer
+    combined_atlas: jnp.ndarray  # (Mc, S, 2S, 16) float32
     tex_atlas: jnp.ndarray  # (N, S, 2S, 4) mip atlases
     cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 4) sky cubemap faces
     sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 4) skydome equirect texture
@@ -118,6 +134,8 @@ class SceneMeta:
     num_triangles: int = 0
     num_pairs: int = 0
     num_instances: int = 0
+    has_deferred: bool = True
+    has_forward: bool = True
 
 
 class SceneBuilder:
@@ -301,6 +319,52 @@ class SceneBuilder:
             else np.arange(7, dtype=np.int32)[None]
         )
 
+        # Composite the scalar slots (metallic, roughness, AO, mask) of each
+        # material into one RGBA texture; dedup identical combinations.
+        composite_cache = {}
+        mat_packed = np.zeros((mats.shape[0], 4), np.int32)
+        for mi, layers in enumerate(mats):
+            key = (int(layers[1]), int(layers[2]), int(layers[4]),
+                   int(layers[6]))
+            if key not in composite_cache:
+                img = np.zeros_like(self.textures[0])
+                img[..., 0] = self.textures[key[0]][..., 0]
+                img[..., 1] = self.textures[key[1]][..., 0]
+                img[..., 2] = self.textures[key[2]][..., 0]
+                img[..., 3] = self.textures[key[3]][..., 0]
+                self.textures.append(img)
+                composite_cache[key] = len(self.textures) - 1
+            mat_packed[mi] = [layers[0], layers[3], layers[5],
+                              composite_cache[key]]
+
+        # Combined supertextures (mip atlases built per unique combo).
+        from zeldaengine_tpu.ops.texture import build_mip_atlas as _bma
+
+        combo_cache = {}
+        mat_combined = np.zeros((mats.shape[0],), np.int32)
+        combined_imgs = []
+        for mi in range(mats.shape[0]):
+            bc, nrm, em, pk = (int(v) for v in mat_packed[mi])
+            key = (bc, nrm, em, pk)
+            if key not in combo_cache:
+                sS = self.config.texture_size
+                img16 = np.zeros((sS, sS, 16), np.float32)
+                img16[..., 0:3] = self.textures[bc][..., :3]
+                img16[..., 3:6] = self.textures[nrm][..., :3]
+                img16[..., 6:9] = self.textures[em][..., :3]
+                img16[..., 9:13] = self.textures[pk]
+                combined_imgs.append(img16)
+                combo_cache[key] = len(combined_imgs) - 1
+            mat_combined[mi] = combo_cache[key]
+        combined_atlas = _bma(np.stack(combined_imgs))
+
+        pair_static = np.zeros((p_cap, 8), np.float32)
+        pair_static[:n_pairs, 0:2] = pair_uv
+        pair_static[:n_pairs, 2:5] = pair_col
+        tri_meta = np.zeros((t_cap, 4), np.int32)
+        tri_meta[:n_tris, :3] = tri_vtx
+        tri_meta[:n_tris, 3] = tri_mat
+
         sky = self._sky_mesh
         scene = GpuScene(
             pair_pos=jnp.asarray(padn(pair_pos, p_cap)),
@@ -314,7 +378,12 @@ class SceneBuilder:
             tri_two_sided=jnp.asarray(padn(tri_two, t_cap)),
             tri_deferred=jnp.asarray(padn(tri_def, t_cap)),
             tri_valid=jnp.asarray(tri_valid),
+            pair_static=jnp.asarray(pair_static),
+            tri_meta=jnp.asarray(tri_meta),
             mat_tex=jnp.asarray(mats),
+            mat_packed=jnp.asarray(mat_packed),
+            mat_combined=jnp.asarray(mat_combined),
+            combined_atlas=jnp.asarray(combined_atlas),
             tex_atlas=jnp.asarray(build_mip_atlas(np.stack(self.textures))),
             cube_atlas=jnp.asarray(build_mip_atlas(self.cube_faces)),
             sky_tex=jnp.asarray(build_mip_atlas(self.sky_image[None])),
@@ -329,5 +398,7 @@ class SceneBuilder:
             num_triangles=n_tris,
             num_pairs=n_pairs,
             num_instances=self._num_instances,
+            has_deferred=bool(tri_def.any()),
+            has_forward=bool((~tri_def).any() and n_tris > 0),
         )
         return scene, meta
