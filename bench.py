@@ -1,7 +1,13 @@
-"""Benchmark driver: renders the headline config and prints ONE JSON line.
+"""Benchmark driver: renders a BASELINE.json config and prints ONE JSON line.
 
-Headline metric (BASELINE.json): 1080p deferred-PBR frames/sec with meshlet
-culling and PCF shadows on a single TPU chip; baseline target 60 FPS.
+Default (config 3) is the headline metric: 1080p deferred-PBR frames/sec
+with PCF shadows on a single TPU chip; baseline target 60 FPS.
+
+Configs (BASELINE.md):
+  1  single mesh + 1 directional light, forward PBR, 512x512
+  2  1k instanced cubes with shadow map + PCF, 1024x1024
+  3  full deferred path @1080p (headline)
+  4  GPU-driven meshlet scene: bake -> frustum/cone cull, ~1M tris
 """
 
 from __future__ import annotations
@@ -13,14 +19,35 @@ import time
 import numpy as np
 
 
+def _force(x) -> float:
+    # block_until_ready returns early on the tunneled axon backend; a
+    # scalar fetch is the honest execution fence.
+    return float(x.sum())
+
+
+def _bench_loop(step, scene, make_view, frames):
+    import jax  # noqa: F401
+
+    t0 = time.time()
+    _force(step(scene, make_view(0)))
+    compile_s = time.time() - t0
+    times = []
+    for i in range(frames):
+        view_i = make_view(i + 1)
+        t0 = time.time()
+        out = step(scene, view_i)
+        _force(out)
+        times.append(time.time() - t0)
+    return float(np.median(times)), compile_s
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--width", type=int, default=1920)
-    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--config", type=int, default=3, choices=(1, 2, 3, 4))
+    parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--grass", type=int, default=400)
-    parser.add_argument("--rocks", type=int, default=64)
-    parser.add_argument("--frames", type=int, default=10)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args()
 
     import jax
@@ -29,69 +56,152 @@ def main() -> None:
     from zeldaengine_tpu.passes.frame import render_rows
     from zeldaengine_tpu.passes.view import build_view_state
     from zeldaengine_tpu.scene.demo import build_demo_scene
+    from zeldaengine_tpu.scene.scenebuild import SceneBuilder
+    from zeldaengine_tpu.scene.world import World, CameraDesc, LightDesc
 
-    config = EngineConfig(width=args.width, height=args.height)
-    scene, meta, world = build_demo_scene(
-        config, grass=args.grass, rocks=args.rocks
-    )
+    def make_world(pos=(5.0, 5.0, 5.0), lookat=(0.0, 0.0, 0.5), z_far=60.0):
+        w = World()
+        w.main_camera = CameraDesc(
+            position=np.asarray(pos, np.float32),
+            lookat=np.asarray(lookat, np.float32),
+            z_far=z_far,
+        )
+        moon = np.array([20.0, 0.0, 20.0], np.float32)
+        w.directional_lights = [
+            LightDesc(position=moon, type=0,
+                      color=np.array([1.0, 0.95, 0.85], np.float32),
+                      intensity=3.0, direction=moon / np.linalg.norm(moon))
+        ]
+        return w
+
+    detail = {}
+
+    if args.config == 1:
+        config = EngineConfig(width=512, height=512, shadowmap_dim=256,
+                              enable_shadow=False, enable_skydome=False,
+                              texture_size=128, cubemap_size=64,
+                              background_size=128, max_point_lights=8)
+        b = SceneBuilder(config)
+        b.enable_skydome = False
+        from zeldaengine_tpu.scene.mesh import make_sphere
+        import os
+        mesh = make_sphere(1.0, rings=48, sectors=96)
+        ref = "/root/reference/Engine/ZeldaEngine/Content/Models/sphere.obj"
+        if os.path.exists(ref):
+            from zeldaengine_tpu.scene.mesh import load_obj
+            mesh = load_obj(ref)
+        b.add_object(mesh, b.add_material({}), deferred=False)
+        scene, meta = b.build()
+        world = make_world(pos=(0.0, -3.0, 1.0), lookat=(0.0, 0.0, 0.0))
+        metric, unit, target = "forward-PBR 512px frames/sec", "fps", 60.0
+
+    elif args.config == 2:
+        config = EngineConfig(width=1024, height=1024, shadowmap_dim=1024,
+                              texture_size=128, cubemap_size=64,
+                              background_size=128, max_point_lights=8)
+        b = SceneBuilder(config)
+        from zeldaengine_tpu.scene.mesh import make_cube, make_plane
+        b.add_object(make_plane(20.0, uv_scale=8.0), b.add_material({}))
+        rng = np.random.RandomState(0)
+        inst = np.zeros((1000, 8), np.float32)
+        ang = rng.uniform(0, 2 * np.pi, 1000)
+        rad = rng.uniform(2.0, 14.0, 1000)
+        inst[:, 0] = np.sin(ang) * rad
+        inst[:, 1] = np.cos(ang) * rad
+        inst[:, 2] = 0.25
+        inst[:, 4] = rng.uniform(0, np.pi, 1000)  # yaw
+        inst[:, 6] = rng.uniform(0.3, 0.8, 1000)
+        inst[:, 7] = rng.randint(0, 256, 1000)
+        b.add_object(make_cube(1.0), b.add_material({}), instances=inst)
+        scene, meta = b.build()
+        world = make_world(pos=(14.0, 14.0, 9.0), lookat=(0.0, 0.0, 0.0))
+        metric, unit, target = "instanced+PCF 1024px frames/sec", "fps", 60.0
+
+    elif args.config == 4:
+        config = EngineConfig(width=1024, height=1024, shadowmap_dim=512,
+                              texture_size=128, cubemap_size=64,
+                              background_size=128, max_point_lights=8,
+                              tri_chunk=512)
+        from zeldaengine_tpu.meshlet import build_meshlets
+        from zeldaengine_tpu.scene.mesh import make_sphere
+
+        b = SceneBuilder(config)
+        mat = b.add_material({})
+        # ~1M triangles: a dense sphere grid baked to meshlets
+        total = 0
+        t0 = time.time()
+        rng = np.random.RandomState(1)
+        for i in range(16):
+            mesh = make_sphere(0.8, rings=140, sectors=230)  # ~64k tris
+            offs = np.array(
+                [(i % 4 - 1.5) * 2.2, (i // 4 - 1.5) * 2.2, 0.8], np.float32
+            )
+            ms = build_meshlets(mesh.positions + offs, mesh.indices,
+                                normals=mesh.normals, uvs=mesh.uvs)
+            b.add_meshlet_object(ms, mat)
+            total += mesh.num_triangles
+        bake_s = time.time() - t0
+        scene, meta = b.build()
+        world = make_world(pos=(6.0, -6.0, 3.0), lookat=(0.0, 0.0, 0.8),
+                           z_far=80.0)
+        detail.update(bake_s=round(bake_s, 2), meshlets=meta.num_meshlets)
+        metric, unit = "meshlets culled/sec", "meshlets/s"
+        target = None
+
+    else:  # config 3, headline
+        config = EngineConfig(width=1920, height=1080)
+        scene, meta, world = build_demo_scene(config, grass=args.grass)
+        metric, unit, target = "1080p deferred-PBR frames/sec", "fps", 60.0
+
     n_tris = meta.num_triangles
-
-    view = build_view_state(
-        world, config, light_capacities=(16, 16, 16), animate_point_lights=True
-    )
 
     @jax.jit
     def step(scene, view):
         color, _ = render_rows(scene, view, meta, config)
         return color
 
-    def force(x):
-        # NOTE: on the tunneled axon backend block_until_ready returns
-        # before execution completes; a scalar fetch is the honest fence.
-        return float(x.sum())
-
-    t0 = time.time()
-    force(step(scene, view))
-    compile_s = time.time() - t0
-
-    # Steady-state: vary time/lights per frame like the real loop would.
-    times = []
-    for i in range(args.frames):
-        view_i = build_view_state(
-            world, config, time=float(i) / 60.0, roll_light=float(i) * 0.02,
-            light_capacities=(16, 16, 16),
+    def make_view(i):
+        return build_view_state(
+            world, config, time=i / 60.0, roll_light=i * 0.02,
+            light_capacities=(8, 16, 8),
         )
-        t0 = time.time()
-        color = step(scene, view_i)
-        force(color)
-        times.append(time.time() - t0)
-    frame_s = float(np.median(times))
+
+    frame_s, compile_s = _bench_loop(step, scene, make_view, args.frames)
     fps = 1.0 / frame_s
     mtris = n_tris * fps / 1e6
 
-    if args.verbose:
-        print(
-            f"# {n_tris} tris, compile {compile_s:.1f}s, frame "
-            f"{frame_s * 1000:.1f} ms, {fps:.2f} fps, {mtris:.1f} Mtri/s",
-            flush=True,
-        )
-        img = np.asarray(color)
-        print(f"# image mean {img.mean():.4f}, coverage sane: {img.std():.4f}")
+    if args.out:
+        from zeldaengine_tpu.utils import write_png
 
+        img = np.asarray(step(scene, make_view(0)))
+        write_png(args.out, img)
+
+    if args.config == 4:
+        value = meta.num_meshlets * fps
+        vs_baseline = fps / 60.0
+    else:
+        value = fps
+        vs_baseline = fps / (target or 60.0)
+
+    detail.update(
+        triangles=int(n_tris),
+        mtris_per_sec=round(mtris, 2),
+        frame_ms=round(frame_s * 1000, 2),
+        fps=round(fps, 3),
+        resolution=f"{config.width}x{config.height}",
+        compile_s=round(compile_s, 1),
+        config=args.config,
+    )
+    if args.verbose:
+        print(f"# {detail}", flush=True)
     print(
         json.dumps(
             {
-                "metric": "1080p deferred-PBR frames/sec",
-                "value": round(fps, 3),
-                "unit": "fps",
-                "vs_baseline": round(fps / 60.0, 4),
-                "detail": {
-                    "triangles": int(n_tris),
-                    "mtris_per_sec": round(mtris, 2),
-                    "frame_ms": round(frame_s * 1000, 2),
-                    "resolution": f"{args.width}x{args.height}",
-                    "compile_s": round(compile_s, 1),
-                },
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 4),
+                "detail": detail,
             }
         )
     )

@@ -37,6 +37,19 @@ from zeldaengine_tpu.ops.rasterize import TriangleSetup
 
 NO_HIT = 3.0e38  # plain float: jnp constants may not be captured by kernels
 
+# SMEM budget for the (n_tiles, n_chunks) active/resident prefetch tables
+# (two int32 tables; TPU SMEM is ~1 MB total).
+SMEM_TABLE_BUDGET = 384 * 1024
+K_INNER = 512  # triangles per in-kernel compute slice (bounds VMEM temps)
+
+
+def choose_chunk(n_tris: int, n_tiles: int, base: int = 256) -> int:
+    """Grow the chunk size so the binning tables fit in SMEM."""
+    max_chunks = max(1, SMEM_TABLE_BUDGET // (8 * n_tiles))
+    need = -(-max(n_tris, 1) // max_chunks)
+    chunk = max(base, ((need + 127) // 128) * 128)
+    return chunk
+
 
 class ChunkedTriangles(NamedTuple):
     records: jnp.ndarray  # (n_chunks, 16, K) float32 coefficient rows
@@ -143,11 +156,11 @@ def _vis_kernel(
         tx = t % n_tx
         base_x = (tx * tile_w).astype(jnp.int32)
         base_y = (ty * tile_h).astype(jnp.int32)
-        tri = tri_ref[0]  # (16, K)
-
         c_base = c * chunk
         n_sub = tile_h // sub_rows
         p_sub = sub_rows * tile_w
+        k_inner = min(chunk, K_INNER)
+        n_kb = chunk // k_inner
 
         for s in range(n_sub):
             # Pixel coords: sublane axis = flattened (sub_rows, tile_w).
@@ -157,24 +170,44 @@ def _vis_kernel(
                 base_y + s * sub_rows + lin // tile_w
             ).astype(jnp.float32) + 0.5
 
-            def form(r):
-                return (
-                    px * tri[r : r + 1, :]
-                    + py * tri[r + 1 : r + 2, :]
-                    + tri[r + 2 : r + 3, :]
-                )  # (p_sub, K)
+            def kb_body(kb, carry):
+                best, best_id = carry
+                sl = tri_ref[0, :, pl.ds(kb * k_inner, k_inner)]
 
-            e0 = form(0)
-            e1 = form(3)
-            e2 = form(6)
-            d = form(9)
-            esum = e0 + e1 + e2
-            inside = (
-                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (esum > 0.0)
-                & (d >= 0.0) & (d <= 1.0)
+                def form(r, sl=sl):
+                    return (
+                        px * sl[r : r + 1, :]
+                        + py * sl[r + 1 : r + 2, :]
+                        + sl[r + 2 : r + 3, :]
+                    )  # (p_sub, k_inner)
+
+                e0 = form(0)
+                e1 = form(3)
+                e2 = form(6)
+                d = form(9)
+                esum = e0 + e1 + e2
+                inside = (
+                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (esum > 0.0)
+                    & (d >= 0.0) & (d <= 1.0)
+                )
+                cand = jnp.where(inside, d, NO_HIT)
+                kb_best = jnp.min(cand, axis=1)  # (p_sub,)
+                if not depth_only:
+                    kb_arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
+                    kb_id = (c_base + kb * k_inner) + kb_arg
+                    take_kb = kb_best < best
+                    best_id = jnp.where(take_kb, kb_id, best_id)
+                    best = jnp.where(take_kb, kb_best, best)
+                else:
+                    best = jnp.minimum(best, kb_best)
+                return best, best_id
+
+            best, best_id = jax.lax.fori_loop(
+                0, n_kb, kb_body,
+                (jnp.full((p_sub,), NO_HIT, jnp.float32),
+                 jnp.zeros((p_sub,), jnp.int32)),
             )
-            cand = jnp.where(inside, d, NO_HIT)
-            best = jnp.min(cand, axis=1)  # (p_sub,)
+
             cur = depth_ref[
                 pl.ds(s * sub_rows, sub_rows), :
             ].reshape(p_sub)
@@ -182,12 +215,10 @@ def _vis_kernel(
             new_depth = jnp.where(take, best, cur).reshape(sub_rows, tile_w)
             depth_ref[pl.ds(s * sub_rows, sub_rows), :] = new_depth
             if not depth_only:
-                arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
-                gid = c_base + arg
                 cur_t = tid_ref[
                     pl.ds(s * sub_rows, sub_rows), :
                 ].reshape(p_sub)
-                new_t = jnp.where(take, gid, cur_t).reshape(
+                new_t = jnp.where(take, best_id, cur_t).reshape(
                     sub_rows, tile_w
                 )
                 tid_ref[pl.ds(s * sub_rows, sub_rows), :] = new_t

@@ -33,7 +33,8 @@ from zeldaengine_tpu.ops.rasterize import (
     rasterize_visibility,
     rasterize_depth,
 )
-from zeldaengine_tpu.ops.rasterize_pallas import build_chunks, rasterize_pallas
+from zeldaengine_tpu.ops.rasterize_pallas import (build_chunks, choose_chunk, rasterize_pallas)
+from zeldaengine_tpu.ops.culling import expand_meshlet_mask, meshlet_cull
 from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
 from zeldaengine_tpu.ops.texture import sample_base, sample_trilinear
 from zeldaengine_tpu.passes.gbuffer import (
@@ -71,11 +72,13 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
                 init_depth, ((0, ph - height), (0, pw - width)),
                 constant_values=1.0,
             )
+        n_tiles = (ph // config.tile_h) * (pw // config.tile_w)
+        chunk = choose_chunk(setup.edge.shape[0], n_tiles, config.tri_chunk)
         chunks = build_chunks(setup, pw, ph, config.tile_h, config.tile_w,
-                              config.tri_chunk)
+                              chunk)
         depth, tid = rasterize_pallas(
             chunks, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
-            tile_w=config.tile_w, chunk=config.tri_chunk,
+            tile_w=config.tile_w, chunk=chunk,
             sub_rows=config.sub_rows,
         )
         return depth[:height, :width], tid[:height, :width]
@@ -87,11 +90,13 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
 
 def _raster_depth(setup, dim, config: EngineConfig, y0=0, band: bool = False):
     if _use_pallas(config, band):
+        n_tiles = (dim // config.tile_h) * (dim // config.tile_w)
+        chunk = choose_chunk(setup.edge.shape[0], n_tiles, config.tri_chunk)
         chunks = build_chunks(setup, dim, dim, config.tile_h, config.tile_w,
-                              config.tri_chunk)
+                              chunk)
         return rasterize_pallas(
             chunks, dim, dim, tile_h=config.tile_h, tile_w=config.tile_w,
-            chunk=config.tri_chunk, sub_rows=config.sub_rows,
+            chunk=chunk, sub_rows=config.sub_rows,
             depth_only=True,
         )
     return rasterize_depth(setup, dim, dim, chunk=config.tri_chunk, y0=y0)
@@ -319,6 +324,21 @@ def render_rows(
     clip = apply_mat4_h(view.view_proj, world)
     tri_clip = clip[scene.tri_vtx]
 
+    # GPU-driven meshlet culling (frustum + backface cone): the per-frame
+    # compacted 'indirect draw list' as a validity mask.
+    tri_valid = scene.tri_valid
+    if meta.has_meshlets:
+        vp_model = jnp.matmul(view.view_proj, view.model,
+                              precision=jax.lax.Precision.HIGHEST)
+        visible = meshlet_cull(
+            scene.meshlet_records, vp_model, view.camera_pos,
+            model=view.model,
+        )
+        # camera position is in world space; bounds were transformed by
+        # ``model`` inside meshlet_cull, matching vp_model's clip transform.
+        tri_vis = expand_meshlet_mask(visible, jnp.maximum(scene.tri_meshlet, 0))
+        tri_valid = tri_valid & (tri_vis | (scene.tri_meshlet < 0))
+
     # ---- 1. shadowmap pass (two-sided: cull disabled for Shadow pipelines)
     if config.enable_shadow:
         clip_sh = apply_mat4_h(view.shadow_space, world)
@@ -327,6 +347,8 @@ def render_rows(
             config.shadowmap_dim,
             config.shadowmap_dim,
             two_sided=True,
+            # NOTE: camera-frustum/cone culling must NOT apply here —
+            # geometry behind the camera still casts shadows.
             valid_mask=scene.tri_valid,
             depth_bias=(config.shadow_bias_constant,
                         config.shadow_bias_slope),
@@ -354,7 +376,7 @@ def render_rows(
         setup = triangle_setup(
             tri_clip, width, vp_h,
             two_sided=scene.tri_two_sided,
-            valid_mask=scene.tri_valid & scene.tri_deferred,
+            valid_mask=tri_valid & scene.tri_deferred,
         )
         depth_d, tid_d = _raster_vis(
             setup, height, width, config, y0=y0, band=not full_frame
@@ -377,7 +399,7 @@ def render_rows(
         setup_f = triangle_setup(
             tri_clip, width, vp_h,
             two_sided=scene.tri_two_sided,
-            valid_mask=scene.tri_valid & (~scene.tri_deferred),
+            valid_mask=tri_valid & (~scene.tri_deferred),
         )
         depth, tid_f = _raster_vis(
             setup_f, height, width, config, init_depth=depth_d, y0=y0,

@@ -124,6 +124,12 @@ class GpuScene(NamedTuple):
     sky_uv: jnp.ndarray  # (Vs, 2)
     sky_tri: jnp.ndarray  # (Ts, 3)
 
+    # GPU-driven meshlet path (the reference's indirect-draw data,
+    # XkMeshlet ZeldaEngine.cpp:689 / vkCmdDrawIndexedIndirect :3616,
+    # with the frustum+cone cull actually executed per frame)
+    meshlet_records: jnp.ndarray  # (M, 16) from MeshletSet.arrays()
+    tri_meshlet: jnp.ndarray  # (T,) int32 meshlet id per triangle (-1 none)
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneMeta:
@@ -136,6 +142,8 @@ class SceneMeta:
     num_instances: int = 0
     has_deferred: bool = True
     has_forward: bool = True
+    has_meshlets: bool = False
+    num_meshlets: int = 0
 
 
 class SceneBuilder:
@@ -159,6 +167,8 @@ class SceneBuilder:
         self._tri_mat: List[np.ndarray] = []
         self._tri_two_sided: List[np.ndarray] = []
         self._tri_deferred: List[np.ndarray] = []
+        self._tri_meshlet: List[np.ndarray] = []
+        self._meshlet_records: List[np.ndarray] = []
         self._num_instances = 0
 
         cs = config.cubemap_size
@@ -276,6 +286,48 @@ class SceneBuilder:
         self._tri_mat.append(np.full(t * n_inst, material, np.int32))
         self._tri_two_sided.append(np.full(t * n_inst, two_sided, bool))
         self._tri_deferred.append(np.full(t * n_inst, deferred, bool))
+        self._tri_meshlet.append(np.full(t * n_inst, -1, np.int32))
+
+    def add_meshlet_object(self, meshlet_set, material: int,
+                           two_sided: bool = False,
+                           deferred: bool = True) -> None:
+        """Add a baked meshlet object (the indirect-draw path:
+        CreateMeshVertexBuffers<XkMeshIndirect>, ZeldaEngine.cpp:4733-4756):
+        vertices re-expanded by meshletVertices, triangles from the 8-bit
+        local index stream, one cullable record per meshlet."""
+        ms = meshlet_set
+        verts = ms.vertices  # (V, 8): pos3, nrm3, uv2
+        base_pair = sum(p.shape[0] for p in self._pair_pos)
+        # Expanded vertex pool in meshlet-vertex order.
+        vids = ms.meshlet_vertices.astype(np.int64)
+        pos = verts[vids, 0:3].astype(np.float32)
+        nrm = verts[vids, 3:6].astype(np.float32)
+        uv = verts[vids, 6:8].astype(np.float32)
+        n_exp = pos.shape[0]
+        col = _hue2rgb_np(np.arange(n_exp, dtype=np.float32) * 1.71)
+        self._pair_pos.append(pos)
+        self._pair_nrm.append(nrm)
+        self._pair_col.append(col.astype(np.float32))
+        self._pair_uv.append(uv)
+        self._pair_rot.append(np.zeros(n_exp, np.int32))
+
+        rec_base = len(self._meshlet_records)
+        tri_list = []
+        mesh_ids = []
+        for mi, m in enumerate(ms.meshlets):
+            tris = ms.meshlet_triangles[
+                m.triangle_offset : m.triangle_offset + m.triangle_count * 3
+            ].reshape(-1, 3).astype(np.int32)
+            tri_list.append(tris + (base_pair + m.vertex_offset))
+            mesh_ids.append(np.full(tris.shape[0], rec_base + mi, np.int32))
+        tri = np.concatenate(tri_list)
+        t = tri.shape[0]
+        self._tri_vtx.append(tri)
+        self._tri_mat.append(np.full(t, material, np.int32))
+        self._tri_two_sided.append(np.full(t, two_sided, bool))
+        self._tri_deferred.append(np.full(t, deferred, bool))
+        self._tri_meshlet.append(np.concatenate(mesh_ids))
+        self._meshlet_records.append(np.asarray(ms.arrays(), np.float32))
 
     # ----------------------------------------------------------------- build
 
@@ -295,6 +347,7 @@ class SceneBuilder:
         tri_mat = cat(self._tri_mat, np.int32)
         tri_two = cat(self._tri_two_sided, bool)
         tri_def = cat(self._tri_deferred, bool)
+        tri_msh = cat(self._tri_meshlet, np.int32)
 
         n_pairs = pair_pos.shape[0]
         n_tris = tri_vtx.shape[0]
@@ -365,6 +418,13 @@ class SceneBuilder:
         tri_meta[:n_tris, :3] = tri_vtx
         tri_meta[:n_tris, 3] = tri_mat
 
+        if self._meshlet_records:
+            meshlet_records = np.concatenate(self._meshlet_records)
+        else:
+            meshlet_records = np.zeros((1, 16), np.float32)
+        tri_meshlet_arr = np.full(t_cap, -1, np.int32)
+        tri_meshlet_arr[:n_tris] = tri_msh
+
         sky = self._sky_mesh
         scene = GpuScene(
             pair_pos=jnp.asarray(padn(pair_pos, p_cap)),
@@ -391,6 +451,8 @@ class SceneBuilder:
             sky_pos=jnp.asarray(sky.positions),
             sky_uv=jnp.asarray(sky.uvs),
             sky_tri=jnp.asarray(sky.indices),
+            meshlet_records=jnp.asarray(meshlet_records),
+            tri_meshlet=jnp.asarray(tri_meshlet_arr),
         )
         meta = SceneMeta(
             enable_skydome=self.enable_skydome,
@@ -400,5 +462,8 @@ class SceneBuilder:
             num_instances=self._num_instances,
             has_deferred=bool(tri_def.any()),
             has_forward=bool((~tri_def).any() and n_tris > 0),
+            has_meshlets=bool(self._meshlet_records),
+            num_meshlets=int(meshlet_records.shape[0])
+            if self._meshlet_records else 0,
         )
         return scene, meta
