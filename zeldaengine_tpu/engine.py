@@ -64,6 +64,11 @@ class Engine:
         self.play_light_roll = False
         self.roll_stage = 0.0
         self.roll_light = 0.0
+        # 'G' game mode hides the editor bars (RightBarSpace/BottomBarSpace,
+        # :4343-4344 — the ImGui outliner/details reserve 20% right+bottom).
+        self.game_mode = True
+        self.editor_right_frac = 0.2
+        self.editor_bottom_frac = 0.2
         self._start_time = time.time()
         self._last_time = self._start_time
 
@@ -114,6 +119,23 @@ class Engine:
     def toggle_light_roll(self) -> None:  # 'L' key
         self.play_light_roll = not self.play_light_roll
 
+    def toggle_game_mode(self) -> None:  # 'G' key (:1795)
+        self.game_mode = not self.game_mode
+
+    def focus(self, target=(0.0, 0.0, 0.0)) -> None:
+        """'F' key (:1779): re-aim the orbit camera at a target, keeping
+        the arm length."""
+        cam = self.world.main_camera
+        arm = cam.arm_length
+        direction = cam.direction
+        cam.lookat = np.asarray(target, np.float32)
+        cam.position = cam.lookat - direction * arm
+
+    def reset_animation(self) -> None:  # 'R' key (:1786)
+        self.roll_stage = 0.0
+        self.roll_light = 0.0
+        self._start_time = time.time()
+
     # ----------------------------------------------------------------- frame
 
     def tick(self) -> np.ndarray:
@@ -137,6 +159,12 @@ class Engine:
         if self.play_light_roll:
             self.roll_light += dt  # :4603
 
+        right = 0.0 if self.game_mode else (
+            self.config.width * self.editor_right_frac
+        )
+        bottom = 0.0 if self.game_mode else (
+            self.config.height * self.editor_bottom_frac
+        )
         view = build_view_state(
             self.world,
             self.config,
@@ -144,6 +172,8 @@ class Engine:
             roll_stage=self.roll_stage,
             roll_light=self.roll_light,
             debug_view=self.debug_view,
+            right_bar=right,
+            bottom_bar=bottom,
         )
         t0 = time.time()
         color, _aux = render_frame(self.scene, view, self.meta, self.config)
