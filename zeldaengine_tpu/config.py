@@ -65,7 +65,11 @@ class EngineConfig:
     tri_chunk: int = 256
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
-    sub_rows: int = 8  # triangles processed per rasterizer step
+    sub_rows: int = 8
+    # PCF backend: "auto" = Pallas windowed-one-hot kernel on TPU (exact up
+    # to a 256-texel shadow window per screen tile), "exact" = XLA gathers.
+    pcf_backend: str = "auto"
+    pcf_window: int = 256  # triangles processed per rasterizer step
 
     # Rendering toggles (reference gates ENABLE_DEFERRED_SHADING etc.)
     enable_deferred: bool = True

@@ -63,19 +63,40 @@ def direct_lighting(
         return radiance * (dif + spec[..., None])
 
     shape = diffuse_color.shape
-    acc0 = jnp.zeros(shape, jnp.float32)
+    acc = jnp.zeros(shape, jnp.float32)
 
-    def dir_body(i, acc):
-        contrib = bxdf_times_radiance(dir_lights[i], False) \
+    # Static unroll for small light capacities: XLA fuses the whole sum
+    # into a few VPU passes (a fori_loop forces per-iteration HBM round
+    # trips of every (H, W, 3) temporary). Large capacities fall back to
+    # the loop to bound compile time.
+    UNROLL_LIMIT = 64
+
+    def dir_contrib(i):
+        return (
+            bxdf_times_radiance(dir_lights[i], False)
             * shadow_factor[..., None]
-        return acc + jnp.where(i < n_dir, 1.0, 0.0) * contrib
+            * jnp.where(i < n_dir, 1.0, 0.0)
+        )
 
-    def point_body(i, acc):
-        contrib = bxdf_times_radiance(point_lights[i], True)
-        return acc + jnp.where(i < n_point, 1.0, 0.0) * contrib
+    def point_contrib(i):
+        return bxdf_times_radiance(point_lights[i], True) * jnp.where(
+            i < n_point, 1.0, 0.0
+        )
 
-    acc = jax.lax.fori_loop(0, dir_lights.shape[0], dir_body, acc0)
-    acc = jax.lax.fori_loop(0, point_lights.shape[0], point_body, acc)
+    if dir_lights.shape[0] <= UNROLL_LIMIT:
+        for i in range(dir_lights.shape[0]):
+            acc = acc + dir_contrib(i)
+    else:
+        acc = jax.lax.fori_loop(
+            0, dir_lights.shape[0], lambda i, a: a + dir_contrib(i), acc
+        )
+    if point_lights.shape[0] <= UNROLL_LIMIT:
+        for i in range(point_lights.shape[0]):
+            acc = acc + point_contrib(i)
+    else:
+        acc = jax.lax.fori_loop(
+            0, point_lights.shape[0], lambda i, a: a + point_contrib(i), acc
+        )
     return acc
 
 

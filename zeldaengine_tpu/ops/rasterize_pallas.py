@@ -65,8 +65,13 @@ def build_chunks(
     tile_h: int,
     tile_w: int,
     chunk: int,
+    y0_tiles=0,
 ) -> ChunkedTriangles:
-    """Pack a TriangleSetup into chunked records + binning tables."""
+    """Pack a TriangleSetup into chunked records + binning tables.
+
+    ``y0_tiles`` (traced ok) offsets the tile rows for row-band rendering:
+    the band covers global tile rows [y0_tiles, y0_tiles + height/tile_h).
+    """
     edge = setup.edge
     t = edge.shape[0]
     pad = (-t) % chunk
@@ -103,7 +108,9 @@ def build_chunks(
     tx1 = jnp.ceil(bbox[:, 2] / tile_w) - 1.0
     ty1 = jnp.ceil(bbox[:, 3] / tile_h) - 1.0
     xs = jnp.arange(n_tx, dtype=jnp.float32)
-    ys = jnp.arange(n_ty, dtype=jnp.float32)
+    ys = jnp.arange(n_ty, dtype=jnp.float32) + jnp.asarray(
+        y0_tiles, jnp.float32
+    )
     ox = ((xs[None, :] >= tx0[:, None]) & (xs[None, :] <= tx1[:, None]))
     oy = ((ys[None, :] >= ty0[:, None]) & (ys[None, :] <= ty1[:, None]))
     ox = ox.astype(jnp.float32).reshape(n_chunks, chunk, n_tx)
@@ -127,6 +134,7 @@ def build_chunks(
 
 
 def _vis_kernel(
+    y0_ref,
     active_ref,
     resident_ref,
     tri_ref,
@@ -155,7 +163,7 @@ def _vis_kernel(
         ty = t // n_tx
         tx = t % n_tx
         base_x = (tx * tile_w).astype(jnp.int32)
-        base_y = (ty * tile_h).astype(jnp.int32)
+        base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
         c_base = c * chunk
         n_sub = tile_h // sub_rows
         p_sub = sub_rows * tile_w
@@ -241,6 +249,7 @@ def rasterize_pallas(
     chunk: int = 256,
     sub_rows: int = 8,
     depth_only: bool = False,
+    y0_tiles=0,
 ):
     """Rasterize chunked triangles to (depth, tri_id) visibility buffers.
 
@@ -268,16 +277,16 @@ def rasterize_pallas(
         depth_only=depth_only,
     )
 
-    def tile_index(t, c, active, resident):
+    def tile_index(t, c, y0, active, resident):
         return (t // n_tx, t % n_tx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec(
                 (1, 16, chunk),
-                lambda t, c, active, resident: (resident[t, c], 0, 0),
+                lambda t, c, y0, active, resident: (resident[t, c], 0, 0),
             ),
             pl.BlockSpec((tile_h, tile_w), tile_index),
         ],
@@ -290,11 +299,12 @@ def rasterize_pallas(
         jax.ShapeDtypeStruct((height, width), jnp.float32),
         jax.ShapeDtypeStruct((height, width), jnp.int32),
     )
+    y0_arr = jnp.asarray(y0_tiles, jnp.int32).reshape(1)
     depth, tid = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-    )(chunks.active, chunks.resident, chunks.records, init_depth)
+    )(y0_arr, chunks.active, chunks.resident, chunks.records, init_depth)
     if depth_only:
         return depth
     return depth, tid

@@ -174,3 +174,98 @@ def sample_cubemap_lod(cube_atlas: jnp.ndarray, cube_index, direction, lod,
     uv = jnp.clip(uv, half[..., None], 1.0 - half[..., None])
     layer = jnp.asarray(cube_index, jnp.int32) * 6 + face
     return sample_trilinear(cube_atlas, layer, uv, lod, base)
+
+
+# ------------------------------------------------- neighborhood-packed atlas
+
+
+def build_packed_mip_atlas(images: np.ndarray) -> np.ndarray:
+    """Pack (N, S, S, C) images into (N, S, 2S, 4C) mip atlases where each
+    texel row also carries its +x, +y and +x+y neighbors (edge-clamped).
+
+    One gather then returns the full 2x2 bilinear footprint — TPU gathers
+    cost per index, and rows up to 128 floats are free.
+    """
+    images = np.asarray(images, np.float32)
+    n, s, s2, c = images.shape
+    assert s == s2 and (s & (s - 1)) == 0
+
+    def neighborhood(level):  # (n, sz, sz, c) -> (n, sz, sz, 4c)
+        xp = np.minimum(np.arange(level.shape[2]) + 1, level.shape[2] - 1)
+        yp = np.minimum(np.arange(level.shape[1]) + 1, level.shape[1] - 1)
+        return np.concatenate(
+            [
+                level,
+                level[:, :, xp],
+                level[:, yp, :],
+                level[:, yp][:, :, xp],
+            ],
+            axis=-1,
+        )
+
+    atlas = np.zeros((n, s, 2 * s, 4 * c), np.float32)
+    level = images
+    size = s
+    lv = 0
+    while True:
+        off = mip_offset_x(lv, s)
+        atlas[:, :size, off : off + size] = neighborhood(level)
+        if size == 1:
+            break
+        level = level.reshape(n, size // 2, 2, size // 2, 2, c).mean(
+            axis=(2, 4)
+        )
+        size //= 2
+        lv += 1
+    return atlas
+
+
+def sample_bilinear_level_packed(atlas4: jnp.ndarray, layer, uv, level,
+                                 base: int):
+    """Bilinear tap from a neighborhood-packed atlas: ONE gather per pixel.
+
+    Matches sample_bilinear_level semantics (repeat across tile repeats,
+    clamp at mip borders)."""
+    c4 = atlas4.shape[-1]
+    c = c4 // 4
+    lvl = jnp.asarray(level, jnp.int32)
+    size_f = jnp.asarray(base, jnp.float32) / jnp.exp2(lvl.astype(jnp.float32))
+    size_f = jnp.maximum(jnp.floor(size_f + 0.5), 1.0)
+    offs = _mip_offsets_table(base)[jnp.clip(lvl, 0, mip_count(base) - 1)]
+
+    uw = uv[..., 0] - jnp.floor(uv[..., 0])
+    vw = uv[..., 1] - jnp.floor(uv[..., 1])
+    u = uw * size_f - 0.5
+    v = vw * size_f - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    size_i = size_f.astype(jnp.int32)
+    x0 = jnp.clip(u0.astype(jnp.int32), 0, size_i - 1)
+    y0 = jnp.clip(v0.astype(jnp.int32), 0, size_i - 1)
+    fu = jnp.clip(u - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    fv = jnp.clip(v - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    ox = offs.astype(jnp.int32)
+    layer = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), x0.shape)
+    texel = atlas4[layer, y0, x0 + ox]  # (..., 4c)
+    t00 = texel[..., 0:c]
+    t10 = texel[..., c : 2 * c]
+    t01 = texel[..., 2 * c : 3 * c]
+    t11 = texel[..., 3 * c : 4 * c]
+    top = t00 * (1 - fu) + t10 * fu
+    bot = t01 * (1 - fu) + t11 * fu
+    return top * (1 - fv) + bot * fv
+
+
+def sample_trilinear_packed(atlas4: jnp.ndarray, layer, uv, lod, base: int):
+    """Trilinear from a packed atlas: 2 gathers per pixel total."""
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, mip_count(base) - 1.0)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    a = sample_bilinear_level_packed(atlas4, layer, uv, l0.astype(jnp.int32),
+                                     base)
+    b = sample_bilinear_level_packed(
+        atlas4, layer, uv,
+        jnp.minimum(l0 + 1, mip_count(base) - 1).astype(jnp.int32), base,
+    )
+    return a * (1 - frac) + b * frac

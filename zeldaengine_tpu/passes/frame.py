@@ -46,11 +46,12 @@ from zeldaengine_tpu.passes.gbuffer import (
 from zeldaengine_tpu.scene.scenebuild import GpuScene, SceneMeta
 
 
-def _use_pallas(config: EngineConfig, band: bool) -> bool:
-    """Pallas tiled kernel on TPU full-frame paths; jnp elsewhere (CPU
-    tests, row-banded multi-chip path — band support lands with the kernel's
-    y0 offset)."""
-    if config.raster == "jnp" or band:
+def _use_pallas(config: EngineConfig, band: bool, height: int) -> bool:
+    """Pallas tiled kernel on TPU; jnp on CPU. Row bands use Pallas when
+    tile-aligned (the multi-chip path guarantees y0/rows alignment)."""
+    if config.raster == "jnp":
+        return False
+    if band and height % config.tile_h != 0:
         return False
     if config.raster == "pallas":
         return True
@@ -63,8 +64,12 @@ def _pad_up(n: int, m: int) -> int:
 
 def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
                 y0=0, band: bool = False):
-    """Visibility raster with automatic backend choice + tile padding."""
-    if _use_pallas(config, band):
+    """Visibility raster with automatic backend choice + tile padding.
+
+    When ``band`` is set, ``y0`` must be a multiple of tile_h for the
+    Pallas path (the sharded caller guarantees it; otherwise jnp is used).
+    """
+    if _use_pallas(config, band, height):
         ph = _pad_up(height, config.tile_h)
         pw = _pad_up(width, config.tile_w)
         if init_depth is not None and (ph != height or pw != width):
@@ -74,12 +79,13 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
             )
         n_tiles = (ph // config.tile_h) * (pw // config.tile_w)
         chunk = choose_chunk(setup.edge.shape[0], n_tiles, config.tri_chunk)
+        y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
         chunks = build_chunks(setup, pw, ph, config.tile_h, config.tile_w,
-                              chunk)
+                              chunk, y0_tiles=y0_tiles)
         depth, tid = rasterize_pallas(
             chunks, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
             tile_w=config.tile_w, chunk=chunk,
-            sub_rows=config.sub_rows,
+            sub_rows=config.sub_rows, y0_tiles=y0_tiles,
         )
         return depth[:height, :width], tid[:height, :width]
     return rasterize_visibility(
@@ -88,22 +94,45 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
     )
 
 
-def _raster_depth(setup, dim, config: EngineConfig, y0=0, band: bool = False):
-    if _use_pallas(config, band):
-        n_tiles = (dim // config.tile_h) * (dim // config.tile_w)
+def _raster_depth(setup, dim, config: EngineConfig, y0=0,
+                  band: bool = False, rows=None):
+    height = rows if rows is not None else dim
+    if _use_pallas(config, band, height):
+        n_tiles = (height // config.tile_h) * (dim // config.tile_w)
         chunk = choose_chunk(setup.edge.shape[0], n_tiles, config.tri_chunk)
-        chunks = build_chunks(setup, dim, dim, config.tile_h, config.tile_w,
-                              chunk)
+        y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
+        chunks = build_chunks(setup, dim, height, config.tile_h,
+                              config.tile_w, chunk, y0_tiles=y0_tiles)
         return rasterize_pallas(
-            chunks, dim, dim, tile_h=config.tile_h, tile_w=config.tile_w,
+            chunks, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
             chunk=chunk, sub_rows=config.sub_rows,
-            depth_only=True,
+            depth_only=True, y0_tiles=y0_tiles,
         )
-    return rasterize_depth(setup, dim, dim, chunk=config.tri_chunk, y0=y0)
+    return rasterize_depth(setup, height, dim, chunk=config.tri_chunk, y0=y0)
 
 
 def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig):
     sc = compute_shadow_coord(view.shadow_space, world_pos)
+    use_pallas_pcf = (
+        config.pcf_backend == "pallas"
+        or (config.pcf_backend == "auto"
+            and jax.default_backend() not in ("cpu",))
+    )
+    if use_pallas_pcf and sc.ndim == 3:
+        from zeldaengine_tpu.ops.pcf_pallas import compute_pcf_pallas
+
+        h, w = sc.shape[:2]
+        ph = _pad_up(h, config.tile_h)
+        pw = _pad_up(w, config.tile_w)
+        if ph != h or pw != w:
+            sc = jnp.pad(sc, ((0, ph - h), (0, pw - w), (0, 0)))
+        out = compute_pcf_pallas(
+            shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+            bias=config.shadow_bias, tile_h=config.tile_h,
+            tile_w=config.tile_w, win=config.pcf_window,
+            sub_rows=config.sub_rows,
+        )
+        return out[:h, :w]
     return compute_pcf(
         shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
         bias=config.shadow_bias,
@@ -355,9 +384,9 @@ def render_rows(
         )
         if shadow_rows is not None:
             sy0, s_rows, gather_fn = shadow_rows
-            shadow_band = rasterize_depth(
-                setup_sh, s_rows, config.shadowmap_dim,
-                chunk=config.tri_chunk, y0=sy0,
+            shadow_band = _raster_depth(
+                setup_sh, config.shadowmap_dim, config, y0=sy0,
+                band=True, rows=s_rows,
             )
             shadowmap = gather_fn(shadow_band)
         else:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from zeldaengine_tpu.config import EngineConfig
 from zeldaengine_tpu.ops import pbr
 from zeldaengine_tpu.ops.rasterize import TriangleSetup, _pixel_grid
-from zeldaengine_tpu.ops.texture import sample_trilinear
+from zeldaengine_tpu.ops.texture import sample_trilinear_packed
 
 
 class SurfaceAttributes(NamedTuple):
@@ -62,24 +62,35 @@ def surface_attributes(
     covered = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
-    # One 16-wide record gather per pixel: edge coefficients (9 floats) +
-    # bitcast triangle meta (v0, v1, v2, material).
+    # ONE 64-wide record gather per pixel: edge coefficients (9), bitcast
+    # triangle meta (material id), and all three corners' interpolants
+    # (uv2+color3 static, world pos 3 + world normal 3) packed per triangle
+    # on the (cheap, O(T)) host side of the frame.
     n_t = setup.edge.shape[0]
+    pair_all = jnp.concatenate(
+        [
+            scene.pair_static[:, :5],  # uv(2) col(3)
+            pair_world,  # (3)
+            pair_normal_world,  # (3)
+        ],
+        axis=1,
+    )  # (P, 11)
+    corners = pair_all[scene.tri_vtx[:n_t]]  # (T, 3, 11)
     rec = jnp.concatenate(
         [
             setup.edge.reshape(n_t, 9),
             jax.lax.bitcast_convert_type(
-                scene.tri_meta[:n_t], jnp.float32
+                scene.tri_meta[:n_t, 3:4], jnp.float32
             ),
-            jnp.zeros((n_t, 3), jnp.float32),
+            corners.reshape(n_t, 33),
+            jnp.zeros((n_t, 21), jnp.float32),
         ],
         axis=1,
-    )
-    r = rec[tid]  # (H, W, 16)
+    )  # (T, 64)
+    r = rec[tid]  # (H, W, 64)
     edge = r[..., :9].reshape(height, width, 3, 3)
-    meta_i = jax.lax.bitcast_convert_type(r[..., 9:13], jnp.int32)
-    v_idx = meta_i[..., :3]
-    mat_id = meta_i[..., 3]
+    mat_id = jax.lax.bitcast_convert_type(r[..., 9], jnp.int32)
+    corner_px = r[..., 10:43].reshape(height, width, 3, 11)
 
     px, py = _pixel_grid(height, width, y0=y0)
     u = edge[..., 0] * px[..., None] + edge[..., 1] * py[..., None] + edge[..., 2]
@@ -92,23 +103,10 @@ def surface_attributes(
     dbary_dx = (ax - bary * jnp.sum(ax, -1, keepdims=True)) * inv[..., None]
     dbary_dy = (ay - bary * jnp.sum(ay, -1, keepdims=True)) * inv[..., None]
 
-    # One combined 16-wide attribute pool: static (uv, color) + dynamic
-    # (world pos, world normal) — one gather per triangle corner.
-    pair_all = jnp.concatenate(
-        [
-            scene.pair_static[:, :5],  # uv(2) col(3)
-            pair_world,  # (3)
-            pair_normal_world,  # (3)
-            jnp.zeros((pair_world.shape[0], 5), pair_world.dtype),
-        ],
-        axis=1,
-    )  # (P, 16)
-    corners = pair_all[v_idx]  # (H, W, 3, 16)
-
     def mix(weights):
         # fp32: TPU einsum defaults to bf16, far too coarse for world-space
         # positions feeding the shadow compare.
-        return jnp.einsum("hwk,hwkc->hwc", weights, corners,
+        return jnp.einsum("hwk,hwkc->hwc", weights, corner_px,
                           precision=jax.lax.Precision.HIGHEST)
 
     a_i = mix(bary)
@@ -131,10 +129,11 @@ def surface_attributes(
     lod = 0.5 * jnp.log2(jnp.maximum(foot * ts * ts, 1e-12))
     lod = jnp.maximum(lod, 0.0)
 
-    # ONE trilinear sample of the 16-channel supertexture returns every
-    # material texture's texel (8 tap gathers total for all of them).
+    # Trilinear sample of the neighborhood-packed 64-channel supertexture:
+    # 2 gathers per pixel return every material texture's full bilinear
+    # footprint at both mip levels.
     combo = scene.mat_combined[mat_id]  # (H, W)
-    texels = sample_trilinear(
+    texels = sample_trilinear_packed(
         scene.combined_atlas, combo, uv, lod, config.texture_size
     )  # (H, W, 16)
     base_color = texels[..., 0:3]

@@ -113,7 +113,7 @@ class GpuScene(NamedTuple):
     # index, not per byte, so one 16-wide row fetch returns every
     # texture's texel at once.
     mat_combined: jnp.ndarray  # (M,) int32 -> combined_atlas layer
-    combined_atlas: jnp.ndarray  # (Mc, S, 2S, 16) float32
+    combined_atlas: jnp.ndarray  # (Mc, S, 2S, 64) float32 (2x2-packed)
     tex_atlas: jnp.ndarray  # (N, S, 2S, 4) mip atlases
     cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 4) sky cubemap faces
     sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 4) skydome equirect texture
@@ -390,8 +390,9 @@ class SceneBuilder:
             mat_packed[mi] = [layers[0], layers[3], layers[5],
                               composite_cache[key]]
 
-        # Combined supertextures (mip atlases built per unique combo).
-        from zeldaengine_tpu.ops.texture import build_mip_atlas as _bma
+        # Combined supertextures (mip atlases built per unique combo),
+        # neighborhood-packed so one gather returns the bilinear footprint.
+        from zeldaengine_tpu.ops.texture import build_packed_mip_atlas as _bma
 
         combo_cache = {}
         mat_combined = np.zeros((mats.shape[0],), np.int32)
