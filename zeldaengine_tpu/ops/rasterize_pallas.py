@@ -167,7 +167,10 @@ def _vis_kernel(
         c_base = c * chunk
         n_sub = tile_h // sub_rows
         p_sub = sub_rows * tile_w
-        k_inner = min(chunk, K_INNER)
+        # Bound the (p_sub, k_inner) temporaries to ~2 MB each.
+        k_inner = min(chunk, max(128, (K_INNER * 1024) // p_sub * 128))
+        while chunk % k_inner:
+            k_inner -= 128
         n_kb = chunk // k_inner
 
         for s in range(n_sub):
@@ -304,6 +307,9 @@ def rasterize_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(y0_arr, chunks.active, chunks.resident, chunks.records, init_depth)
     if depth_only:
         return depth

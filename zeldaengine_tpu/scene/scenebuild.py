@@ -179,8 +179,10 @@ class SceneBuilder:
         self.bg_image = np.zeros((ss, ss, 4), np.float32)
         self.enable_skydome = True
         self.enable_background = False
+        # 12x24 is visually indistinguishable for an equirect-textured dome
+        # and costs a quarter of the raster work of the 24x48 version.
         sky_mesh = make_sphere(
-            getattr(config, "skydome_radius", 30.0), rings=24, sectors=48,
+            getattr(config, "skydome_radius", 30.0), rings=12, sectors=24,
             inward=True,
         )
         self._sky_mesh = sky_mesh
