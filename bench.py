@@ -8,6 +8,7 @@ Configs (BASELINE.md):
   2  1k instanced cubes with shadow map + PCF, 1024x1024
   3  full deferred path @1080p (headline)
   4  GPU-driven meshlet scene: bake -> frustum/cone cull, ~1M tris
+  5  livelink streaming: TCP world updates re-rendered per frame
 """
 
 from __future__ import annotations
@@ -43,7 +44,8 @@ def _bench_loop(step, scene, make_view, frames):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=int, default=3, choices=(1, 2, 3, 4))
+    parser.add_argument("--config", type=int, default=3,
+                        choices=(1, 2, 3, 4, 5))
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--grass", type=int, default=400)
     parser.add_argument("--verbose", action="store_true")
@@ -147,6 +149,67 @@ def main() -> None:
         detail.update(bake_s=round(bake_s, 2), meshlets=meta.num_meshlets)
         metric, unit = "meshlets culled/sec", "meshlets/s"
         target = None
+
+    elif args.config == 5:
+        # Livelink streaming: a procedurally generated world is sent over
+        # TCP and re-rendered each frame (BASELINE config 5).
+        import threading
+
+        from zeldaengine_tpu.engine import Engine
+        from zeldaengine_tpu.livelink import send_data_to_engine
+        from zeldaengine_tpu.scene.world import make_demo_world
+
+        config = EngineConfig(width=512, height=512, shadowmap_dim=512,
+                              texture_size=128, cubemap_size=64,
+                              background_size=128, max_point_lights=16)
+        w = make_demo_world()
+        w.object_descs[3].instance_count = 200
+        w.object_descs[4].instance_count = 200
+        port = 18085
+        engine = Engine(config=config, world=w, livelink_port=port)
+        engine.start()
+        engine.tick()  # compile
+
+        stop = threading.Event()
+
+        def streamer():
+            i = 0
+            while not stop.is_set():
+                w2 = make_demo_world()
+                w2.object_descs[3].instance_count = 200
+                w2.object_descs[4].instance_count = 200
+                w2.main_camera.position = np.array(
+                    [5.0 + 0.1 * i, 5.0, 5.0], np.float32
+                )
+                try:
+                    send_data_to_engine(w2.to_json(), port=port)
+                except OSError:
+                    break
+                i += 1
+                time.sleep(0.05)
+
+        t = threading.Thread(target=streamer, daemon=True)
+        t.start()
+        times = []
+        for _ in range(args.frames):
+            t0 = time.time()
+            engine.tick()
+            times.append(time.time() - t0)
+        stop.set()
+        engine.stop()
+        frame_s = float(np.median(times))
+        fps = 1.0 / frame_s
+        print(json.dumps({
+            "metric": "livelink streamed re-render frames/sec",
+            "value": round(fps, 3),
+            "unit": "fps",
+            "vs_baseline": round(fps / 60.0, 4),
+            "detail": {"frame_ms": round(frame_s * 1000, 2),
+                       "reloads": engine.stats.reloads,
+                       "triangles": engine.stats.triangles,
+                       "resolution": "512x512", "config": 5},
+        }))
+        return
 
     else:  # config 3, headline
         config = EngineConfig(width=1920, height=1080)
