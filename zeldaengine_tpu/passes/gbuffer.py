@@ -52,11 +52,11 @@ def surface_attributes(
 ) -> SurfaceAttributes:
     """Resolve per-pixel surface attributes from a visibility buffer.
 
-    Gather-lean layout: one (1,4) gather for triangle meta, one (1,3,3)
-    gather for edge coefficients, one (1,8) gather per corner for static
-    attributes (uv+color) and one for dynamic attributes (world pos +
-    normal), then 4 texture samples (basecolor / normal / emissive /
-    packed-M/R/AO/Mask composite).
+    Gather-lean layout (3 gathers per pixel): ONE 64-float triangle record
+    carrying edge coefficients, material id and all three corners'
+    interpolants, then TWO taps of the neighborhood-packed 16-channel
+    supertexture (each tap returns the full 2x2 bilinear footprint of
+    every material texture at one mip level).
     """
     height, width = tri_id.shape
     covered = tri_id >= 0
