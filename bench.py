@@ -49,6 +49,8 @@ def main() -> None:
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--grass", type=int, default=400)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="per-pass ms breakdown (profiling.py)")
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args()
 
@@ -232,6 +234,13 @@ def main() -> None:
     frame_s, compile_s = _bench_loop(step, scene, make_view, args.frames)
     fps = 1.0 / frame_s
     mtris = n_tris * fps / 1e6
+
+    if args.profile:
+        from zeldaengine_tpu.profiling import profile_passes
+
+        passes = profile_passes(scene, make_view(0), meta, config,
+                                include_full=False)
+        detail["pass_ms"] = {k: round(v, 1) for k, v in passes.items()}
 
     if args.out:
         from zeldaengine_tpu.utils import write_png

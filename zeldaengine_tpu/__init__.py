@@ -17,8 +17,35 @@ Engine/ZeldaEngine/ZeldaEngine.cpp) as a TPU-first software renderer:
 - The TCP JSON livelink (port 8080, schema of XkWorld::Load) is preserved.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from zeldaengine_tpu.config import EngineConfig
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (the analogue of the reference's
+    VkPipelineCache, ZeldaEngine.cpp:5260): cold-process compiles of the
+    frame graph hit disk instead of re-running XLA. Opt out with
+    ZELDA_NO_JAX_CACHE=1."""
+    if _os.environ.get("ZELDA_NO_JAX_CACHE"):
+        return
+    import jax
+
+    cache_dir = _os.environ.get(
+        "ZELDA_JAX_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 — older jax without these flags
+        pass
+
+
+_enable_compilation_cache()
+
+from zeldaengine_tpu.config import EngineConfig  # noqa: E402
 
 __all__ = ["EngineConfig", "__version__"]

@@ -41,6 +41,9 @@ class FrameStats:
     fps: float = 0.0
     triangles: int = 0
     reloads: int = 0
+    # Per-pass ms breakdown; filled by Engine.profile_passes() (the
+    # tracing subsystem the reference lacks, SURVEY.md §5 row 1).
+    pass_ms: dict = dataclasses.field(default_factory=dict)
 
 
 class Engine:
@@ -135,6 +138,19 @@ class Engine:
         self.roll_stage = 0.0
         self.roll_light = 0.0
         self._start_time = time.time()
+
+    def profile_passes(self, reps: int = 3) -> dict:
+        """Per-pass ms breakdown of the current scene/view; stores the
+        result in ``stats.pass_ms`` and returns it."""
+        from zeldaengine_tpu.profiling import profile_passes
+
+        view = build_view_state(
+            self.world, self.config, time=0.0, debug_view=self.debug_view
+        )
+        self.stats.pass_ms = profile_passes(
+            self.scene, view, self.meta, self.config, reps=reps
+        )
+        return self.stats.pass_ms
 
     # ----------------------------------------------------------------- frame
 

@@ -162,7 +162,9 @@ class SceneBuilder:
         self._pair_col: List[np.ndarray] = []
         self._pair_uv: List[np.ndarray] = []
         self._pair_rot: List[np.ndarray] = []
-        self._rots: List[np.ndarray] = [np.eye(3, dtype=np.float32)]
+        # Blocks of (Ni, 3, 3) rotation matrices; slot 0 is the identity.
+        self._rots: List[np.ndarray] = [np.eye(3, dtype=np.float32)[None]]
+        self._rot_count = 1
         self._tri_vtx: List[np.ndarray] = []
         self._tri_mat: List[np.ndarray] = []
         self._tri_two_sided: List[np.ndarray] = []
@@ -243,15 +245,18 @@ class SceneBuilder:
         self._num_instances += n_inst
 
         # Rotation table entries: R^T per instance (normals get p*mat3(R)).
+        # Vectorized (no per-instance Python): identity rotations map to
+        # table slot 0; the rest are appended as one block.
         rot_mats = _make_rot_np(instances[:, 3:6]).transpose(0, 2, 1)
         identity = np.abs(instances[:, 3:6]).sum(-1) == 0
         rot_idx = np.zeros(n_inst, np.int32)
-        for i in range(n_inst):
-            if identity[i]:
-                rot_idx[i] = 0
-            else:
-                self._rots.append(rot_mats[i].astype(np.float32))
-                rot_idx[i] = len(self._rots) - 1
+        nonid = np.flatnonzero(~identity)
+        if nonid.size:
+            rot_idx[nonid] = self._rot_count + np.arange(
+                nonid.size, dtype=np.int32
+            )
+            self._rots.append(rot_mats[nonid].astype(np.float32))
+            self._rot_count += nonid.size
 
         # Stage positions: p' = (p * scale) * mat3(R) + t  (= R^T (s p) + t).
         base = mesh.positions  # (V, 3)
@@ -435,7 +440,7 @@ class SceneBuilder:
             pair_col=jnp.asarray(padn(pair_col, p_cap)),
             pair_uv=jnp.asarray(padn(pair_uv, p_cap)),
             pair_rot=jnp.asarray(padn(pair_rot, p_cap)),
-            rot_table=jnp.asarray(np.stack(self._rots)),
+            rot_table=jnp.asarray(np.concatenate(self._rots, axis=0)),
             tri_vtx=jnp.asarray(padn(tri_vtx, t_cap)),
             tri_mat=jnp.asarray(padn(tri_mat, t_cap)),
             tri_two_sided=jnp.asarray(padn(tri_two, t_cap)),
