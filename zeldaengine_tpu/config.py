@@ -35,6 +35,10 @@ class EngineConfig:
     # Radius of the procedural skydome sphere (the reference's skydome.obj
     # has a fixed modeled radius); must be < camera zFar to survive clip.
     skydome_radius: float = 30.0
+    # "analytic": closed-form ray/sphere dome (exact infinite-tessellation
+    # limit, no raster, 1 gather). "mesh": rasterize the dome mesh like the
+    # reference (kept for parity testing).
+    skydome_mode: str = "analytic"
 
     # Light capacities (ZeldaEngine.cpp:84-86)
     max_directional_lights: int = 16

@@ -32,6 +32,14 @@ from zeldaengine_tpu.scene.world import World, make_demo_world
 LOG = logging.getLogger("zeldaengine.engine")
 
 
+@jax.jit
+def _present_u8(color):
+    """Quantize a float image to uint8 on device (swapchain format)."""
+    import jax.numpy as jnp
+
+    return jnp.round(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 @dataclasses.dataclass
 class FrameStats:
     """The ImGui stats panel, as data (SURVEY.md §5 observability)."""
@@ -63,6 +71,9 @@ class Engine:
 
         # GlobalInput state (ZeldaEngine.cpp:860-900)
         self.debug_view = 0
+        # XkGlobalConstants material overrides (:903-919): basecolor,
+        # metallic, specular, roughness multipliers.
+        self.material_overrides = np.ones(4, np.float32)
         self.play_stage_roll = False
         self.play_light_roll = False
         self.roll_stage = 0.0
@@ -109,6 +120,15 @@ class Engine:
     def set_debug_view(self, index: int) -> None:
         """Keys 0-9 (KeyboardCallback, ZeldaEngine.cpp:1803-1842)."""
         self.debug_view = int(np.clip(index, 0, 9))
+
+    def set_material_override(self, basecolor: float = 1.0,
+                              metallic: float = 1.0, specular: float = 1.0,
+                              roughness: float = 1.0) -> None:
+        """The Details panel's push-constant override scalars
+        (XkGlobalConstants, ZeldaEngine.cpp:903-919)."""
+        self.material_overrides = np.asarray(
+            [basecolor, metallic, specular, roughness], np.float32
+        )
 
     def orbit(self, delta_yaw: float, delta_pitch: float) -> None:
         self.world.main_camera.add_movement(delta_yaw, delta_pitch)
@@ -190,10 +210,14 @@ class Engine:
             debug_view=self.debug_view,
             right_bar=right,
             bottom_bar=bottom,
+            overrides=self.material_overrides,
         )
         t0 = time.time()
         color, _aux = render_frame(self.scene, view, self.meta, self.config)
-        img = np.asarray(color)  # fetch = the honest frame fence
+        # Present: quantize to u8 on device (the 8-bit swapchain analogue),
+        # then fetch — fetching f32 frames over a tunneled backend costs
+        # ~4x more wire time for no benefit.
+        img = np.asarray(_present_u8(color))
         frame_s = time.time() - t0
         self.stats.frame_index += 1
         self.stats.frame_ms = frame_s * 1000.0

@@ -28,15 +28,22 @@ def direct_lighting(
     n_dir,  # () int32
     point_lights,  # (Lp, 4, 4)
     n_point,  # () int32
+    spot_lights=None,  # (Ls, 4, 4) or None
+    n_spot=None,  # () int32
 ):
-    """Sum of the two light loops (directional applies the shadow factor,
-    point lights do not — Base.frag:86 vs :98)."""
+    """Sum of the light loops (directional applies the shadow factor,
+    point lights do not — Base.frag:86 vs :98).
 
-    def bxdf_times_radiance(light, is_point: bool):
-        if is_point:
-            l_dir = pbr.normalize(light[0, :3] - p)
-        else:
+    Spot lights are shaded here even though the reference *declares* but
+    never loops ``spotLights[16]`` (Base.frag:15) — a strict superset:
+    point-light falloff x a smoothstep cone (cosInner/cosOuter carried in
+    the light's ExtraData.xy; defaults 25deg/30deg when unset)."""
+
+    def bxdf_times_radiance(light, kind: str):
+        if kind == "dir":
             l_dir = jnp.broadcast_to(pbr.normalize(light[2, :3]), p.shape)
+        else:
+            l_dir = pbr.normalize(light[0, :3] - p)
         h = pbr.normalize(v + l_dir)
         ldoth = pbr.saturate(jnp.sum(l_dir * h, -1))
         ndoth = pbr.saturate(jnp.sum(n * h, -1))
@@ -44,7 +51,14 @@ def direct_lighting(
         dif, spec = pbr.default_lit_bxdf(
             diffuse_color, roughness, ldoth, ndotv, ndotl, ndoth
         )
-        if is_point:
+        if kind == "dir":
+            radiance = pbr.apply_directional_light(
+                jnp.broadcast_to(light[2, :3], p.shape),
+                light[1, :3],
+                jnp.broadcast_to(light[1, 3], ndotl.shape),
+                n,
+            )
+        else:
             radiance = pbr.apply_point_light(
                 light[0, :3],
                 light[1, :3],
@@ -53,13 +67,10 @@ def direct_lighting(
                 p,
                 n,
             )
-        else:
-            radiance = pbr.apply_directional_light(
-                jnp.broadcast_to(light[2, :3], p.shape),
-                light[1, :3],
-                jnp.broadcast_to(light[1, 3], ndotl.shape),
-                n,
-            )
+            if kind == "spot":
+                radiance = radiance * pbr.spot_cone_factor(
+                    light[0, :3], light[2, :3], light[3, 0], light[3, 1], p
+                )[..., None]
         return radiance * (dif + spec[..., None])
 
     shape = diffuse_color.shape
@@ -73,37 +84,42 @@ def direct_lighting(
 
     def dir_contrib(i):
         return (
-            bxdf_times_radiance(dir_lights[i], False)
+            bxdf_times_radiance(dir_lights[i], "dir")
             * shadow_factor[..., None]
             * jnp.where(i < n_dir, 1.0, 0.0)
         )
 
     def point_contrib(i):
-        return bxdf_times_radiance(point_lights[i], True) * jnp.where(
+        return bxdf_times_radiance(point_lights[i], "point") * jnp.where(
             i < n_point, 1.0, 0.0
         )
 
-    if dir_lights.shape[0] <= UNROLL_LIMIT:
-        for i in range(dir_lights.shape[0]):
-            acc = acc + dir_contrib(i)
-    else:
-        acc = jax.lax.fori_loop(
-            0, dir_lights.shape[0], lambda i, a: a + dir_contrib(i), acc
+    def spot_contrib(i):
+        return bxdf_times_radiance(spot_lights[i], "spot") * jnp.where(
+            i < n_spot, 1.0, 0.0
         )
-    if point_lights.shape[0] <= UNROLL_LIMIT:
-        for i in range(point_lights.shape[0]):
-            acc = acc + point_contrib(i)
-    else:
-        acc = jax.lax.fori_loop(
-            0, point_lights.shape[0], lambda i, a: a + point_contrib(i), acc
+
+    def accumulate(acc, table, contrib):
+        if table.shape[0] <= UNROLL_LIMIT:
+            for i in range(table.shape[0]):
+                acc = acc + contrib(i)
+            return acc
+        return jax.lax.fori_loop(
+            0, table.shape[0], lambda i, a: a + contrib(i), acc
         )
+
+    acc = accumulate(acc, dir_lights, dir_contrib)
+    acc = accumulate(acc, point_lights, point_contrib)
+    if spot_lights is not None:
+        acc = accumulate(acc, spot_lights, spot_contrib)
     return acc
 
 
 def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
-                     cube_atlas, cubemap_size, sky_max_mips):
+                     cube_atlas, cubemap_size, sky_max_mips,
+                     specular=0.5):
     """Base.frag:104-112 / BaseLighting.frag:213-221: IBL reflection."""
-    spec = pbr.compute_f0(0.5, base_color, metallic)
+    spec = pbr.compute_f0(specular, base_color, metallic)
     brdf = pbr.env_brdf_approx(spec, roughness, ndotv)
     r = pbr.refract(v, pbr.normalize(n), 1.0 / 1.52)
     mips = pbr.reflection_mip_from_roughness(
@@ -124,7 +140,20 @@ def shade_pixels(
 
     ``view`` is a ViewState (passes.view). Returns a dict of the lighting
     terms so callers can compose debug views (SPEC_CONSTANTS switch).
+
+    The 4 push-constant material overrides (XkGlobalConstants
+    BasecolorOverride/Metallic/Specular/Roughness, ZeldaEngine.cpp:903-919)
+    apply here as multipliers, where the reference's Details panel intends
+    them (the reference's shaders declare but never read them).
     """
+    ov = getattr(view, "overrides", None)
+    if ov is not None:
+        base_color = base_color * ov[0]
+        metallic = pbr.saturate(metallic * ov[1])
+        roughness = jnp.clip(roughness * ov[3], 0.01, 1.0)
+        specular = 0.5 * ov[2]
+    else:
+        specular = 0.5
     n = pbr.normalize(normal)
     v = pbr.normalize(view.camera_pos - world_pos)
     ndotv = pbr.saturate(jnp.sum(n * v, -1))
@@ -134,11 +163,13 @@ def shade_pixels(
         diffuse_color, roughness, n, world_pos, v, ndotv, shadow_factor,
         view.dir_lights, view.lights_count[0],
         view.point_lights, view.lights_count[1],
+        view.spot_lights, view.lights_count[2],
     )
     indirect = diffuse_color / jnp.pi * (ao * 0.3 * shadow_factor)[..., None]
     refl = reflection_color(
         base_color, metallic, roughness, n, v, ndotv, ao,
         cube_atlas, cubemap_size, view.lights_count[3],
+        specular=specular,
     )
     return {
         "direct": direct,

@@ -173,6 +173,24 @@ def apply_point_light(light_pos, light_color, light_intensity, light_radius,
     return (ndotl * light_intensity * attenuation)[..., None] * light_color
 
 
+def spot_cone_factor(light_pos, spot_dir, cos_inner, cos_outer, position):
+    """Spot-light cone attenuation (smoothstep between outer and inner
+    cone cosines). The reference declares spotLights[16] (Base.frag:15,
+    XkView ZeldaEngine.cpp:922-965) but never shades them; this implements
+    the conventional semantics its data layout implies. ExtraData.xy holds
+    (cosInner, cosOuter); zeros fall back to 25deg/30deg."""
+    cos_outer = jnp.where(cos_outer > 0.0, cos_outer, 0.8660254)  # cos 30
+    cos_inner = jnp.maximum(
+        jnp.where(cos_inner > 0.0, cos_inner, 0.90630779),  # cos 25
+        cos_outer + 1e-4,
+    )
+    to_pix = normalize(position - light_pos)
+    cd = jnp.sum(to_pix * normalize(jnp.broadcast_to(spot_dir, position.shape)),
+                 axis=-1)
+    t = saturate((cd - cos_outer) / (cos_inner - cos_outer))
+    return t * t * (3.0 - 2.0 * t)  # smoothstep
+
+
 def compute_tangent_normal(world_pos_dx, world_pos_dy, uv_dx, uv_dy,
                            frag_normal, tex_normal):
     """Common.glsl:113-127 ComputeNormal — screen-space-derivative TBN.

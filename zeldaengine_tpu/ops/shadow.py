@@ -45,7 +45,7 @@ def _shadow_tap(shadowmap: jnp.ndarray, sc, offset_u, offset_v, bias=0.0):
     # (the reference samples a D32 texture; we take the nearest texel).
     ix = jnp.mod(jnp.floor(u * dim_x).astype(jnp.int32), dim_x)
     iy = jnp.mod(jnp.floor(v * dim_y).astype(jnp.int32), dim_y)
-    dist = shadowmap[iy, ix]
+    dist = shadowmap.reshape(-1)[iy * dim_x + ix]
     z = sc[..., 2]
     w = sc[..., 3]
     occluded = (z > -1.0) & (z < 1.0) & (w > 0.0) & (dist < z - bias)

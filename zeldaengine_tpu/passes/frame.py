@@ -180,7 +180,7 @@ def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
     def sample(img):
         ix = jnp.clip((tile_uv[..., 0] * width).astype(jnp.int32), 0, width - 1)
         iy = jnp.clip((tile_uv[..., 1] * height).astype(jnp.int32), 0, height - 1)
-        return img[iy, ix]
+        return img.reshape(height * width, -1)[iy * width + ix]
 
     ga = sample(gbuf.gbuffer_a)
     gb = sample(gbuf.gbuffer_b)
@@ -306,6 +306,114 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
         view.debug_view, final, attrs, shadow_factor, lit["reflection"],
         extra_case9=None,
     )
+
+
+def _skydome_mesh(scene, view, depth, color, show_env, height, width,
+                  config: EngineConfig, y0, full_frame):
+    """Skydome as rasterized geometry (the reference's literal path:
+    skydome.obj mesh, ZeldaEngine.cpp:3682-3691). Kept for parity tests;
+    the analytic path below is the TPU-fast default."""
+    vp_h = config.height
+    sky_world = apply_mat4_point(view.model, scene.sky_pos)
+    sky_clip = apply_mat4_h(view.view_proj, sky_world)
+    setup_sky = triangle_setup(
+        sky_clip[scene.sky_tri], width, vp_h, two_sided=True
+    )
+    depth_sky, tid_sky = _raster_vis(
+        setup_sky, height, width, config, init_depth=depth, y0=y0,
+        band=not full_frame,
+    )
+    sky_mask = (tid_sky >= 0) & show_env
+    # interpolate uv and sample the equirect skydome texture
+    from zeldaengine_tpu.ops.rasterize import interpolation_coeffs
+
+    bary, _ = interpolation_coeffs(setup_sky, tid_sky, height, width,
+                                   y0=y0)
+    uv = jnp.einsum(
+        "hwk,hwkc->hwc", bary,
+        scene.sky_uv[scene.sky_tri[jnp.maximum(tid_sky, 0)]],
+    )
+    sky_rgb = gamma_correct(
+        sample_base(
+            scene.sky_tex, jnp.zeros_like(tid_sky), uv,
+            config.background_size,
+        )[..., :3]
+    )
+    color = jnp.where(sky_mask[..., None], sky_rgb, color)
+    depth = jnp.where(sky_mask, depth_sky, depth)
+    return color, depth
+
+
+def _skydome_analytic(scene, view, depth, color, show_env, height, width,
+                      config: EngineConfig, y0):
+    """Closed-form skydome: per-pixel ray vs the dome sphere.
+
+    The dome is a radius-``skydome_radius`` UV sphere centered at the origin
+    (model-rotated); instead of rasterizing its ~576 triangles and gathering
+    interpolated UVs (3 full-screen gathers + a raster), intersect the
+    camera ray with the sphere analytically and derive the equirect UV from
+    the hit direction — pure VPU math, one texture gather. This is the
+    exact infinite-tessellation limit of the mesh path (same UV convention
+    as make_sphere: u = atan2(y, x)/2pi, v = acos(z/R)/pi)."""
+    from zeldaengine_tpu.ops.rasterize import _pixel_grid
+
+    vp_h = config.height
+    px, py = _pixel_grid(height, width, y0=y0)
+    nx = px / width * 2.0 - 1.0
+    ny = py / vp_h * 2.0 - 1.0
+    inv_vp = jnp.linalg.inv(view.view_proj)
+    # A point on each pixel ray (NDC z = 0.5; any z works).
+    pt = jnp.stack(
+        [nx, ny, jnp.full_like(nx, 0.5), jnp.ones_like(nx)], -1
+    )
+    world_h = jnp.einsum("ij,hwj->hwi", inv_vp, pt,
+                         precision=jax.lax.Precision.HIGHEST)
+    p0 = world_h[..., :3] / world_h[..., 3:4]
+    d = pbr.normalize(p0 - view.camera_pos)
+
+    o = view.camera_pos
+    radius = float(config.skydome_radius)
+    b = jnp.einsum("c,hwc->hw", o, d)
+    c_s = jnp.sum(o * o) - radius * radius
+    disc = b * b - c_s
+    s = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b - s
+    t2 = -b + s
+    t = jnp.where(t1 > 1e-4, t1, t2)
+    hit = (disc >= 0.0) & (t > 1e-4)
+    p = o + t[..., None] * d
+
+    # The dome rotates with the stage roll (model matrix); rotate the
+    # lookup point back into dome-local space.
+    inv_model = jnp.linalg.inv(view.model)
+    local = jnp.einsum("ij,hwj->hwi", inv_model[:3, :3], p)
+
+    two_pi = 2.0 * jnp.pi
+    u = jnp.mod(jnp.arctan2(local[..., 1], local[..., 0]) / two_pi, 1.0)
+    v = jnp.arccos(jnp.clip(local[..., 2] / radius, -1.0, 1.0)) / jnp.pi
+    uv = jnp.stack([u, v], -1)
+
+    # Dome depth (z/w through the camera projection) for the z-test and
+    # the background pass that follows.
+    clip_z = jnp.einsum("c,hwc->hw", view.view_proj[2, :3], p) \
+        + view.view_proj[2, 3]
+    clip_w = jnp.einsum("c,hwc->hw", view.view_proj[3, :3], p) \
+        + view.view_proj[3, 3]
+    sky_depth = clip_z / jnp.where(jnp.abs(clip_w) > 1e-20, clip_w, 1.0)
+
+    sky_mask = (
+        hit & (sky_depth >= 0.0) & (sky_depth <= 1.0)
+        & (sky_depth < depth) & show_env
+    )
+    sky_rgb = gamma_correct(
+        sample_base(
+            scene.sky_tex, jnp.zeros(px.shape, jnp.int32), uv,
+            config.background_size,
+        )[..., :3]
+    )
+    color = jnp.where(sky_mask[..., None], sky_rgb, color)
+    depth = jnp.where(sky_mask, sky_depth, depth)
+    return color, depth
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "config"))
@@ -448,31 +556,16 @@ def render_rows(
 
     # ---- 4c. skydome (LESS_OR_EQUAL against current depth)
     if meta.enable_skydome and config.enable_skydome:
-        sky_world = apply_mat4_point(view.model, scene.sky_pos)
-        sky_clip = apply_mat4_h(view.view_proj, sky_world)
-        setup_sky = triangle_setup(
-            sky_clip[scene.sky_tri], width, vp_h, two_sided=True
-        )
-        depth_sky, tid_sky = _raster_vis(
-            setup_sky, height, width, config, init_depth=depth, y0=y0,
-            band=not full_frame,
-        )
-        sky_mask = (tid_sky >= 0) & show_env
-        # interpolate uv and sample the equirect skydome texture
-        from zeldaengine_tpu.ops.rasterize import interpolation_coeffs
-
-        bary, _ = interpolation_coeffs(setup_sky, tid_sky, height, width,
-                                       y0=y0)
-        uv = jnp.einsum(
-            "hwk,hwkc->hwc", bary, scene.sky_uv[scene.sky_tri[jnp.maximum(tid_sky, 0)]]
-        )
-        sky_rgb = gamma_correct(
-            sample_base(
-                scene.sky_tex, jnp.zeros_like(tid_sky), uv, config.background_size
-            )[..., :3]
-        )
-        color = jnp.where(sky_mask[..., None], sky_rgb, color)
-        depth = jnp.where(sky_mask, depth_sky, depth)
+        if config.skydome_mode == "analytic":
+            color, depth = _skydome_analytic(
+                scene, view, depth, color, show_env, height, width, config,
+                y0,
+            )
+        else:
+            color, depth = _skydome_mesh(
+                scene, view, depth, color, show_env, height, width, config,
+                y0, full_frame,
+            )
 
     # ---- 4d. background (fullscreen rect at z=1, LESS_OR_EQUAL)
     if meta.enable_background and config.enable_background:

@@ -39,6 +39,9 @@ class ViewState(NamedTuple):
     z_near: jnp.ndarray  # ()
     z_far: jnp.ndarray  # ()
     debug_view: jnp.ndarray  # () int32 — SPEC_CONSTANTS (push constant)
+    # XkGlobalConstants push-constant overrides (ZeldaEngine.cpp:903-919):
+    # basecolor, metallic, specular, roughness multipliers (1.0 = off).
+    overrides: jnp.ndarray  # (4,)
 
 
 def pack_lights(lights: Sequence[LightDesc], capacity: int) -> np.ndarray:
@@ -59,6 +62,7 @@ def build_view_state(
     light_capacities: Optional[tuple] = None,
     right_bar: float = 0.0,
     bottom_bar: float = 0.0,
+    overrides=None,
 ) -> ViewState:
     """Replicates UpdateUniformBuffer (ZeldaEngine.cpp:4585-4664):
 
@@ -131,4 +135,8 @@ def build_view_state(
         z_near=jnp.float32(cam.z_near),
         z_far=jnp.float32(cam.z_far),
         debug_view=jnp.int32(debug_view),
+        overrides=jnp.asarray(
+            np.ones(4, np.float32) if overrides is None
+            else np.asarray(overrides, np.float32)
+        ),
     )

@@ -33,10 +33,14 @@ from zeldaengine_tpu.scene.scenebuild import GpuScene, SceneMeta
 
 
 def _fence(x) -> None:
-    """Force execution to finish: fetch one scalar per float leaf."""
+    """Force execution to finish with ONE host fetch: reduce every leaf to
+    a single scalar on device, then fetch it. (Per-leaf fetches each pay
+    the ~29 ms tunnel round trip on the axon backend.)"""
+    total = jnp.float32(0)
     for leaf in jax.tree_util.tree_leaves(x):
         if hasattr(leaf, "dtype"):
-            np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+            total = total + jnp.sum(leaf.astype(jnp.float32))
+    np.asarray(total)
 
 
 def _time_stage(fn, args, reps: int) -> float:
@@ -138,6 +142,10 @@ def profile_passes(
         )
 
     out: Dict[str, float] = {}
+    # Dispatch+fetch floor of this backend: subtract mentally from every
+    # stage (remote/tunneled backends pay ~30 ms per call).
+    out["null"] = _time_stage(jax.jit(lambda t: t + 1.0),
+                              (jnp.float32(0),), reps)
     out["vertex"] = _time_stage(vertex, (scene, view), reps)
     world, n_world, setup = vertex(scene, view)
     if config.enable_shadow:

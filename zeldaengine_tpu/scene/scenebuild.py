@@ -115,9 +115,9 @@ class GpuScene(NamedTuple):
     mat_combined: jnp.ndarray  # (M,) int32 -> combined_atlas layer
     combined_atlas: jnp.ndarray  # (Mc, S, 2S, 64) float32 (2x2-packed)
     tex_atlas: jnp.ndarray  # (N, S, 2S, 4) mip atlases
-    cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 4) sky cubemap faces
-    sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 4) skydome equirect texture
-    bg_tex: jnp.ndarray  # (1, Sb, 2Sb, 4) background texture
+    cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 16) packed sky cubemap faces
+    sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 16) packed skydome equirect texture
+    bg_tex: jnp.ndarray  # (1, Sb, 2Sb, 16) packed background texture
 
     # skydome mesh (inside-out sphere; Content/Models/skydome.obj analogue)
     sky_pos: jnp.ndarray  # (Vs, 3)
@@ -453,9 +453,10 @@ class SceneBuilder:
             mat_combined=jnp.asarray(mat_combined),
             combined_atlas=jnp.asarray(combined_atlas),
             tex_atlas=jnp.asarray(build_mip_atlas(np.stack(self.textures))),
-            cube_atlas=jnp.asarray(build_mip_atlas(self.cube_faces)),
-            sky_tex=jnp.asarray(build_mip_atlas(self.sky_image[None])),
-            bg_tex=jnp.asarray(build_mip_atlas(self.bg_image[None])),
+            # Neighborhood-packed (16-ch rows): trilinear = 2 flat gathers.
+            cube_atlas=jnp.asarray(_bma(self.cube_faces)),
+            sky_tex=jnp.asarray(_bma(self.sky_image[None])),
+            bg_tex=jnp.asarray(_bma(self.bg_image[None])),
             sky_pos=jnp.asarray(sky.positions),
             sky_uv=jnp.asarray(sky.uvs),
             sky_tri=jnp.asarray(sky.indices),
