@@ -66,7 +66,7 @@ class EngineConfig:
     # Rasterizer tiling (TPU lane-aligned: last dim a multiple of 128).
     tile_h: int = 32
     tile_w: int = 128
-    tri_chunk: int = 256
+    tri_chunk: int = 128
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8

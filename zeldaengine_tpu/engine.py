@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 import time
 from typing import Callable, List, Optional
 
@@ -86,9 +87,20 @@ class Engine:
         self._start_time = time.time()
         self._last_time = self._start_time
 
+        # Guards world/engine state against concurrent editor-protocol
+        # commands from the socket thread (the reference has an actual
+        # data race here, ZeldaEngine.cpp:1683-1688 vs :1943).
+        self.lock = threading.RLock()
+        self._needs_rebuild = False
+
         self.server: Optional[LivelinkServer] = None
         if livelink_port is not None:
-            self.server = LivelinkServer(port=livelink_port)
+            from zeldaengine_tpu.livelink.editor import EditorHandler
+
+            self.server = LivelinkServer(
+                port=livelink_port,
+                on_command=EditorHandler(self).handle,
+            )
 
         self._rebuild_scene()
 
@@ -120,6 +132,10 @@ class Engine:
     def set_debug_view(self, index: int) -> None:
         """Keys 0-9 (KeyboardCallback, ZeldaEngine.cpp:1803-1842)."""
         self.debug_view = int(np.clip(index, 0, 9))
+
+    def request_rebuild(self) -> None:
+        """Flag the scene for a rebuild on the next tick (bReloadScene)."""
+        self._needs_rebuild = True
 
     def set_material_override(self, basecolor: float = 1.0,
                               metallic: float = 1.0, specular: float = 1.0,
@@ -184,11 +200,17 @@ class Engine:
             raw = self.server.poll()
             if raw is not None:
                 try:
-                    self.world.load(raw_data=raw)
-                    self._rebuild_scene()
+                    with self.lock:
+                        self.world.load(raw_data=raw)
+                        self._rebuild_scene()
                     self.stats.reloads += 1
                 except Exception:  # noqa: BLE001 — bad JSON must not kill us
                     LOG.exception("[WORLD] livelink reload failed")
+        if self._needs_rebuild:
+            with self.lock:
+                self._needs_rebuild = False
+                self._rebuild_scene()
+                self.stats.reloads += 1
 
         if self.play_stage_roll:
             self.roll_stage += dt * np.radians(15.0)  # :4612

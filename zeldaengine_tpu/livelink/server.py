@@ -10,10 +10,15 @@ the next frame. Differences from the reference (deliberate fixes):
 - thread-safe hand-off via a lock + queue instead of the reference's
   unsynchronized shared string/flag data race (:1683-1688 vs :1943)
 - bad JSON is rejected without killing the render loop
+- editor commands: a JSON object with a "Command" key is dispatched to
+  ``on_command`` and its JSON reply is written back on the connection
+  (the headless ImGui-editor surface, livelink/editor.py); anything else
+  is treated as a world push, exactly like the reference
 """
 
 from __future__ import annotations
 
+import json
 import logging
 import socket
 import threading
@@ -28,10 +33,12 @@ class LivelinkServer:
     """Background TCP listener; latest received world JSON wins."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8080,
-                 on_world: Optional[Callable[[str], None]] = None):
+                 on_world: Optional[Callable[[str], None]] = None,
+                 on_command: Optional[Callable[[dict], dict]] = None):
         self.host = host
         self.port = port
         self.on_world = on_world
+        self.on_command = on_command
         self._lock = threading.Lock()
         self._pending: Optional[str] = None
         self._sock: Optional[socket.socket] = None
@@ -60,6 +67,7 @@ class LivelinkServer:
             with conn:
                 LOG.info("[Socket] connection from %s", addr)
                 chunks = []
+                parsed = None
                 conn.settimeout(2.0)
                 try:
                     while True:
@@ -67,10 +75,35 @@ class LivelinkServer:
                         if not data:
                             break
                         chunks.append(data)
+                        # Stop as soon as the accumulated payload is a
+                        # complete JSON document (keeps command latency low
+                        # and supports worlds larger than one recv — the
+                        # reference caps at a single 65,720 B read).
+                        try:
+                            parsed = json.loads(
+                                b"".join(chunks).decode("utf-8")
+                            )
+                            break
+                        except ValueError:
+                            continue
                 except socket.timeout:
                     pass
                 raw = b"".join(chunks).decode("utf-8", errors="replace")
-                if raw:
+                if (
+                    isinstance(parsed, dict)
+                    and "Command" in parsed
+                    and self.on_command is not None
+                ):
+                    try:
+                        reply = self.on_command(parsed)
+                    except Exception as e:  # noqa: BLE001
+                        LOG.exception("[Socket] command failed")
+                        reply = {"Status": "error", "Error": str(e)}
+                    try:
+                        conn.sendall(json.dumps(reply).encode("utf-8"))
+                    except OSError:
+                        LOG.warning("[Socket] reply send failed")
+                elif raw:
                     with self._lock:
                         self._pending = raw
                     if self.on_world is not None:

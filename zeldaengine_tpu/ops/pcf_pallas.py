@@ -54,6 +54,12 @@ def _pcf_kernel(
     wy = pl.multiple_of(origins_ref[t, 0], 8)
     wx = pl.multiple_of(origins_ref[t, 1], 128)
     window = sm_ref[pl.ds(wy, win), pl.ds(wx, win)]  # (win, win)
+    # hi/lo bf16 split: two DEFAULT-precision MXU passes reconstruct the
+    # f32 depths to ~2^-16 relative (the one-hot operand is exact in
+    # bf16). Mosaic supports only DEFAULT/HIGHEST, and HIGHEST costs 6
+    # passes for precision the depth compare doesn't need.
+    win_hi = window.astype(jnp.bfloat16)
+    win_lo = (window - win_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     tile_p = tile_h * tile_w
     n_sub = tile_p // (sub_rows * tile_w)
@@ -72,14 +78,17 @@ def _pcf_kernel(
             j = jk - radius
             ry = jnp.floor(fy + scale * j).astype(jnp.int32) - wy
             ry = jnp.clip(ry, 0, win - 1)
-            onehot_r = (lane == ry).astype(jnp.float32)  # (p_sub, win)
-            row_vals = jax.lax.dot_general(
-                onehot_r,
-                window,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (p_sub, win)
+            onehot_r = (lane == ry).astype(jnp.bfloat16)  # (p_sub, win)
+
+            def dot(b):
+                return jax.lax.dot_general(
+                    onehot_r,
+                    b,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            row_vals = dot(win_hi) + dot(win_lo)  # (p_sub, win)
             for i in range(-radius, radius + 1):
                 cx = jnp.floor(fx + scale * i).astype(jnp.int32) - wx
                 cx = jnp.clip(cx, 0, win - 1)

@@ -117,28 +117,15 @@ def profile_passes(
 
     @jax.jit
     def sky(scene, view, depth):
-        from zeldaengine_tpu.ops.rasterize import interpolation_coeffs
-        from zeldaengine_tpu.ops.texture import sample_base
-
-        sky_world = apply_mat4_point(view.model, scene.sky_pos)
-        sky_clip = apply_mat4_h(view.view_proj, sky_world)
-        setup_sky = triangle_setup(
-            sky_clip[scene.sky_tri], config.width, config.height,
-            two_sided=True,
-        )
-        depth_sky, tid_sky = F._raster_vis(
-            setup_sky, config.height, config.width, config, init_depth=depth
-        )
-        bary, _ = interpolation_coeffs(
-            setup_sky, tid_sky, config.height, config.width
-        )
-        uv = jnp.einsum(
-            "hwk,hwkc->hwc", bary,
-            scene.sky_uv[scene.sky_tri[jnp.maximum(tid_sky, 0)]],
-        )
-        return sample_base(
-            scene.sky_tex, jnp.zeros_like(tid_sky), uv,
-            config.background_size,
+        color = jnp.zeros((config.height, config.width, 3), jnp.float32)
+        if config.skydome_mode == "analytic":
+            return F._skydome_analytic(
+                scene, view, depth, color, jnp.bool_(True),
+                config.height, config.width, config, 0.0,
+            )
+        return F._skydome_mesh(
+            scene, view, depth, color, jnp.bool_(True),
+            config.height, config.width, config, 0.0, True,
         )
 
     out: Dict[str, float] = {}

@@ -21,6 +21,7 @@ from zeldaengine_tpu.config import EngineConfig
 from zeldaengine_tpu.math.color import srgb_to_linear
 from zeldaengine_tpu.scene.mesh import (
     Mesh,
+    load_mesh,
     load_obj,
     make_cube,
     make_plane,
@@ -116,10 +117,10 @@ def load_profab(
         if not (os.path.isdir(mdir) and os.path.isdir(tdir)):
             continue
         for f in sorted(os.listdir(mdir)):
-            if not f.lower().endswith(".obj"):
+            if not f.lower().endswith((".obj", ".fbx")):
                 continue
             model_name = os.path.splitext(f)[0]
-            mesh = load_obj(os.path.join(mdir, f))
+            mesh = load_mesh(os.path.join(mdir, f))
             slots = {}
             for slot, suffix in enumerate(SLOT_SUFFIXES):
                 tp = os.path.join(tdir, model_name + suffix + ".png")

@@ -136,6 +136,17 @@ def load_obj(path: str) -> Mesh:
     return mesh
 
 
+def load_mesh(path: str) -> Mesh:
+    """Load a mesh by extension: .obj (tinyobjloader semantics) or .fbx
+    (working binary-FBX import — the reference's OpenFBX branch parses and
+    discards, ZeldaEngine.cpp:6950-7038)."""
+    if path.lower().endswith(".fbx"):
+        from zeldaengine_tpu.scene.fbx import load_fbx
+
+        return load_fbx(path)
+    return load_obj(path)
+
+
 def _compute_normals_inplace(mesh: Mesh) -> None:
     """Area-weighted vertex normals for meshes without vn records."""
     p = mesh.positions
