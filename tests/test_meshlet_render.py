@@ -73,3 +73,48 @@ def test_meshlet_culling_reduces_work(meshlet_scene):
     np.testing.assert_allclose(
         np.asarray(color_c), np.asarray(color_nc), atol=1e-6
     )
+
+
+def test_meshlet_instanced_object():
+    """Indirect-INSTANCED class (ZeldaEngine.cpp:3597-3635): one baked
+    meshlet object replicated with per-instance transforms; culling
+    operates per (meshlet, instance)."""
+    cfg = TEST_CONFIG
+    b = SceneBuilder(cfg)
+    b.enable_skydome = False
+    mesh = make_sphere(0.5, rings=12, sectors=16)
+    ms = build_meshlets(mesh.positions, mesh.indices, max_triangles=64,
+                        normals=mesh.normals, uvs=mesh.uvs)
+    inst = np.zeros((3, 8), np.float32)
+    inst[:, 0] = [-1.5, 0.0, 1.5]  # x positions
+    inst[:, 4] = [0.0, 1.0, 0.0]   # middle instance rotated (yaw)
+    inst[:, 6] = [1.0, 1.0, 0.5]   # last instance half scale
+    b.add_meshlet_object(ms, b.add_material({}), instances=inst)
+    scene, meta = b.build()
+    n_single = len(ms.meshlets)
+    assert meta.num_meshlets == 3 * n_single
+    assert meta.num_instances == 3
+
+    w = World()
+    w.enable_skydome = False
+    w.main_camera = CameraDesc(
+        position=np.array([0.0, -5.0, 0.5], np.float32),
+        lookat=np.zeros(3, np.float32))
+    moon = np.array([10.0, -10.0, 20.0], np.float32)
+    w.directional_lights = [LightDesc(position=moon, type=0, intensity=3.0,
+                                      direction=moon / np.linalg.norm(moon))]
+    view = build_view_state(w, cfg, light_capacities=(2, 2, 2),
+                            animate_point_lights=False)
+    color, aux = render_frame(scene, view, meta, cfg)
+    tid = np.asarray(aux["tri_id"])
+    covered_cols = np.unique(np.nonzero(tid >= 0)[1])
+    # three separated spheres: coverage on the left, center and right
+    assert (covered_cols < cfg.width // 3).any()
+    assert ((covered_cols >= cfg.width // 3)
+            & (covered_cols < 2 * cfg.width // 3)).any()
+    assert (covered_cols >= 2 * cfg.width // 3).any()
+    # per-instance culling records: all three spheres' meshlets in front
+    # of the camera survive, and the scaled instance is smaller on screen
+    left = (tid >= 0)[:, : cfg.width // 3].sum()
+    right = (tid >= 0)[:, 2 * cfg.width // 3 :].sum()
+    assert right < left

@@ -67,3 +67,49 @@ def test_shadow_coord_bias_matrix():
     sc = np.asarray(compute_shadow_coord(jnp.asarray(space), p))[0]
     # ndc (0,0) -> uv (0.5, 0.5); z passes through
     np.testing.assert_allclose(sc, [0.5, 0.5, 0.5, 1.0], atol=1e-6)
+
+
+def test_pcf_packed_matches_exact(rng):
+    """compute_pcf_packed must be tap-for-tap identical to compute_pcf,
+    including at adversarial grazing angles (huge per-tile footprints)
+    where the windowed Pallas kernel clamps."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.shadow import compute_pcf, compute_pcf_packed
+
+    dim = 128
+    sm = jnp.asarray(rng.rand(dim, dim).astype(np.float32))
+    # Shadow coords sweeping far beyond one window per 8 pixels: a grazing
+    # view where adjacent screen pixels land hundreds of texels apart.
+    h, w = 32, 128
+    u = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5  # incl. wrap regions
+    v = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    z = rng.rand(h, w).astype(np.float32)
+    sc = jnp.stack(
+        [jnp.asarray(u), jnp.asarray(v), jnp.asarray(z), jnp.ones((h, w))],
+        -1,
+    )
+    exact = compute_pcf(sm, sc)
+    packed = compute_pcf_packed(sm, sc)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(exact))
+
+
+def test_pcf_packed_nonsquare_scale(rng):
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.shadow import compute_pcf, compute_pcf_packed
+
+    sm = jnp.asarray(rng.rand(64, 64).astype(np.float32))
+    sc = jnp.stack(
+        [
+            jnp.asarray(rng.rand(16, 16).astype(np.float32)),
+            jnp.asarray(rng.rand(16, 16).astype(np.float32)),
+            jnp.asarray(rng.rand(16, 16).astype(np.float32)),
+            jnp.ones((16, 16)),
+        ],
+        -1,
+    )
+    for radius, scale in ((1, 1.0), (2, 1.5), (3, 2.0)):
+        exact = compute_pcf(sm, sc, radius=radius, scale=scale)
+        packed = compute_pcf_packed(sm, sc, radius=radius, scale=scale)
+        np.testing.assert_array_equal(np.asarray(packed), np.asarray(exact))

@@ -70,10 +70,12 @@ class EngineConfig:
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8
-    # PCF backend: "auto" = Pallas windowed-one-hot kernel on TPU (exact up
-    # to a 256-texel shadow window per screen tile), "exact" = XLA gathers.
+    # PCF backend: "auto"/"packed" = neighborhood-packed table + one flat
+    # gather per pixel (exact tap-for-tap everywhere); "pallas" = the
+    # windowed one-hot kernel (approximate when a tile's shadow footprint
+    # exceeds pcf_window texels); "exact" = 25 XLA gathers.
     pcf_backend: str = "auto"
-    pcf_window: int = 256  # triangles processed per rasterizer step
+    pcf_window: int = 256  # Pallas-backend shadow window (texels)
 
     # Rendering toggles (reference gates ENABLE_DEFERRED_SHADING etc.)
     enable_deferred: bool = True

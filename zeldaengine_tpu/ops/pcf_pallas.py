@@ -122,6 +122,7 @@ def compute_pcf_pallas(
     tile_w: int = 128,
     win: int = 256,
     sub_rows: int = 8,
+    valid: jnp.ndarray | None = None,
 ):
     """Windowed-one-hot PCF. H/W must be multiples of tile_h/tile_w
     (callers pad); the shadow map must be square with dim >= win."""
@@ -149,11 +150,22 @@ def compute_pcf_pallas(
     fx = jnp.mod(fx, float(dim))
     fy = jnp.mod(fy, float(dim))
 
-    # Per-tile window origins around the mean tap coordinate.
+    # Per-tile window origins around the mean tap coordinate of the
+    # pixels that MATTER: uncovered pixels (sky/background) carry garbage
+    # shadow coords that would drag the mean (and therefore the window)
+    # away from the geometry — the main source of window-clamp error.
     pad_t = int(math.ceil(scale * radius))
+    weight = inrange
+    if valid is not None:
+        weight = weight * valid.astype(jnp.float32)
 
     def tile_mean(a):
-        return a.reshape(n_ty, tile_h, n_tx, tile_w).mean(axis=(1, 3))
+        num = (a * weight).reshape(n_ty, tile_h, n_tx, tile_w).sum(
+            axis=(1, 3)
+        )
+        den = weight.reshape(n_ty, tile_h, n_tx, tile_w).sum(axis=(1, 3))
+        fallback = a.reshape(n_ty, tile_h, n_tx, tile_w).mean(axis=(1, 3))
+        return jnp.where(den > 0.5, num / jnp.maximum(den, 1.0), fallback)
 
     my = tile_mean(fy)
     mx = tile_mean(fx)

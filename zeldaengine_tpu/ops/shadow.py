@@ -8,7 +8,9 @@ Pallas shifted-window kernel can replace it later for the 1080p hot path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 SHADOW_IN_FACTOR = 0.1  # ShadowDepthProject: factor when occluded (:315)
 
@@ -50,6 +52,73 @@ def _shadow_tap(shadowmap: jnp.ndarray, sc, offset_u, offset_v, bias=0.0):
     w = sc[..., 3]
     occluded = (z > -1.0) & (z < 1.0) & (w > 0.0) & (dist < z - bias)
     return jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
+
+
+def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
+                       radius: int = 2, scale: float = 1.5,
+                       bias: float = 0.0):
+    """ComputePCF via a row-packed shadow table: EXACT (matches
+    ``compute_pcf`` tap-for-tap everywhere, including grazing angles where
+    the windowed Pallas kernel clamps) at (2r+1) gathers per pixel.
+
+    Each tap row's W x-taps (W = span of ``scale * radius`` around the
+    pixel's own base texel) come back in ONE narrow row gather from a
+    (dim^2, W) table of x-shifted shadowmap copies built once per frame
+    (pure bandwidth); the x taps then resolve with one-hot selections
+    over the W channels — 5 cheap gathers + VPU math instead of 25 random
+    gathers (15x slower) or a full 2-D-window table (3.5x slower: gather
+    cost grows with table bytes).
+    """
+    lo = int(np.floor(-scale * radius))
+    hi = int(np.ceil(scale * radius))
+    w_win = hi - lo + 1
+    dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
+
+    # Row-window table: row (y*wp + x) holds sm_wrapped[y, x+lo .. x+hi]
+    # (w_win channels). Built without any per-slice 2D->1D reshape (XLA
+    # materializes those as catastrophically padded copies): wrap-pad in
+    # x, flatten ONCE, take w_win 1-D shifted slices, transpose once.
+    # One tap ROW then costs one ~w_win*4-byte gather; the x taps resolve
+    # with cheap one-hot selections over w_win channels. Keeping the
+    # table narrow (w_win vs w_win^2 channels) is what keeps the gather
+    # fast — measured 3.5x faster than a full 2-D-window table at 1080p.
+    sm_p = jnp.pad(shadowmap, ((0, 0), (-lo, hi)), mode="wrap")
+    wp = dim_x + w_win - 1
+    flat = sm_p.reshape(-1)
+    span = (dim_y - 1) * wp + dim_x
+    shifts = jnp.stack(
+        [
+            jax.lax.dynamic_slice(flat, (dx,), (span,))
+            for dx in range(w_win)
+        ],
+        0,
+    )  # (w_win, span)
+    table = shifts.T  # (span, w_win)
+
+    w = shadow_coord[..., 3, None]
+    sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
+    z = sc[..., 2]
+    w_post = sc[..., 3]
+    in_range = (z > -1.0) & (z < 1.0) & (w_post > 0.0)
+    z_cmp = z - bias
+    fx = sc[..., 0] * dim_x
+    fy = sc[..., 1] * dim_y
+    xb = jnp.floor(fx).astype(jnp.int32)
+    xm = jnp.mod(xb, dim_x)
+
+    ch = jax.lax.broadcasted_iota(jnp.int32, (w_win,), 0)
+    total = 0.0
+    count = 0
+    for oy in range(-radius, radius + 1):
+        iy = jnp.mod(jnp.floor(fy + scale * oy).astype(jnp.int32), dim_y)
+        row = table[iy * wp + xm]  # (..., w_win) = sm[iy, xb+lo .. xb+hi]
+        for ox in range(-radius, radius + 1):
+            dx = jnp.floor(fx + scale * ox).astype(jnp.int32) - xb - lo
+            dist = jnp.sum(row * (ch == dx[..., None]), axis=-1)
+            occluded = in_range & (dist < z_cmp)
+            total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
+            count += 1
+    return total / count
 
 
 def compute_pcf(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,

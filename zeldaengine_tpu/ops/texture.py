@@ -267,6 +267,7 @@ def sample_bilinear_level_packed(atlas4: jnp.ndarray, layer, uv, level,
     ox = offs.astype(jnp.int32)
     layer = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), x0.shape)
     texel = _gather_texel(atlas4, layer, x0 + ox, y0)  # (..., 4c)
+    texel = texel.astype(jnp.float32)  # atlases may be stored bf16
     t00 = texel[..., 0:c]
     t10 = texel[..., c : 2 * c]
     t01 = texel[..., 2 * c : 3 * c]

@@ -111,14 +111,20 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
     return rasterize_depth(setup, height, dim, chunk=config.tri_chunk, y0=y0)
 
 
-def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig):
+def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
+                   valid=None):
     sc = compute_shadow_coord(view.shadow_space, world_pos)
-    use_pallas_pcf = (
-        config.pcf_backend == "pallas"
-        or (config.pcf_backend == "auto"
-            and jax.default_backend() not in ("cpu",))
-    )
-    if use_pallas_pcf and sc.ndim == 3:
+    if config.pcf_backend in ("auto", "packed"):
+        # Exact tap-for-tap vs compute_pcf AND faster than the windowed
+        # Pallas kernel (whose per-tile clamp is wrong on ~8% of pixels
+        # in footprint-heavy scenes) — the default everywhere.
+        from zeldaengine_tpu.ops.shadow import compute_pcf_packed
+
+        return compute_pcf_packed(
+            shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+            bias=config.shadow_bias,
+        )
+    if config.pcf_backend == "pallas" and sc.ndim == 3:
         from zeldaengine_tpu.ops.pcf_pallas import compute_pcf_pallas
 
         h, w = sc.shape[:2]
@@ -126,11 +132,13 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig):
         pw = _pad_up(w, config.tile_w)
         if ph != h or pw != w:
             sc = jnp.pad(sc, ((0, ph - h), (0, pw - w), (0, 0)))
+            if valid is not None:
+                valid = jnp.pad(valid, ((0, ph - h), (0, pw - w)))
         out = compute_pcf_pallas(
             shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
             bias=config.shadow_bias, tile_h=config.tile_h,
             tile_w=config.tile_w, win=config.pcf_window,
-            sub_rows=config.sub_rows,
+            sub_rows=config.sub_rows, valid=valid,
         )
         return out[:h, :w]
     return compute_pcf(
@@ -163,7 +171,7 @@ def _debug_switch(debug_view, final, attrs: SurfaceAttributes, shadow_factor,
 
 
 def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
-                 cube_atlas=None):
+                 cube_atlas=None, shadow_factor=None):
     """BaseLighting.frag:42-145 GBufferVis — 3x3 contact sheet of the
     GBuffer (basecolor/metallic/roughness | normal/-/AO | black/refl/shadow),
     honoring the editor's reserved right/bottom bars via viewportInfo."""
@@ -236,8 +244,13 @@ def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
         config.cubemap_size,
     )[..., :3] * 10.0
     put(1, 2, refl)
-    # (2,2): shadow factor
-    sf = _shadow_factor(shadowmap, p, view, config)
+    # (2,2): shadow factor — reuse the frame's computed factor, warped by
+    # the same contact-sheet sampling (recomputing PCF on the warped
+    # positions would duplicate the whole PCF graph inside this branch).
+    if shadow_factor is not None:
+        sf = sample(shadow_factor[..., None])[..., 0]
+    else:
+        sf = _shadow_factor(shadowmap, p, view, config)
     put(2, 2, jnp.broadcast_to(sf[..., None], final.shape))
     return result
 
@@ -254,7 +267,8 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
     mask = gbuf.scene_color[..., 3]
     world_pos = gbuf.gbuffer_d[..., :3]
 
-    shadow_factor = _shadow_factor(shadowmap, world_pos, view, config)
+    shadow_factor = _shadow_factor(shadowmap, world_pos, view, config,
+                                   valid=gbuf.depth < 1.0)
     lit = shade_pixels(
         base_color, metallic, roughness, normal, ao, world_pos,
         shadow_factor, view, scene.cube_atlas, config.cubemap_size,
@@ -282,7 +296,8 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
         # debug view 9 is selected, so it lives inside the switch branch.
         def vis_thunk():
             return _gbuffer_vis(gbuf, shadowmap, final, view, config,
-                                scene.cube_atlas)
+                                scene.cube_atlas,
+                                shadow_factor=shadow_factor)
     else:
         def vis_thunk():
             return final
@@ -295,7 +310,8 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
 def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
                   config: EngineConfig):
     """Base.frag main(): forward PBR with the case-0 ShadowFactor multiply."""
-    shadow_factor = _shadow_factor(shadowmap, attrs.world_pos, view, config)
+    shadow_factor = _shadow_factor(shadowmap, attrs.world_pos, view, config,
+                                   valid=attrs.covered)
     lit = shade_pixels(
         attrs.base_color, attrs.metallic, attrs.roughness, attrs.normal,
         attrs.ao, attrs.world_pos, shadow_factor, view,
@@ -372,7 +388,7 @@ def _skydome_analytic(scene, view, depth, color, show_env, height, width,
     d = pbr.normalize(p0 - view.camera_pos)
 
     o = view.camera_pos
-    radius = float(config.skydome_radius)
+    radius = scene.sky_params[0]
     b = jnp.einsum("c,hwc->hw", o, d)
     c_s = jnp.sum(o * o) - radius * radius
     disc = b * b - c_s
@@ -389,7 +405,11 @@ def _skydome_analytic(scene, view, depth, color, show_env, height, width,
     local = jnp.einsum("ij,hwj->hwi", inv_model[:3, :3], p)
 
     two_pi = 2.0 * jnp.pi
-    u = jnp.mod(jnp.arctan2(local[..., 1], local[..., 0]) / two_pi, 1.0)
+    u = jnp.mod(
+        jnp.arctan2(local[..., 1], local[..., 0]) / two_pi
+        + scene.sky_params[1],
+        1.0,
+    )
     v = jnp.arccos(jnp.clip(local[..., 2] / radius, -1.0, 1.0)) / jnp.pi
     uv = jnp.stack([u, v], -1)
 

@@ -155,6 +155,12 @@ def build_scene_from_world(
     builder.enable_skydome = world.enable_skydome
     builder.enable_background = world.enable_background
 
+    # Real dome geometry when mounted (Content/Models/skydome.obj —
+    # CreateSkydomePass loads exactly this asset, ZeldaEngine.cpp:2690).
+    dome_path = asset_path_search("skydome.obj", roots)
+    if dome_path and world.enable_skydome:
+        builder.set_skydome_mesh(load_mesh(dome_path))
+
     # Sky / cubemap / background textures
     sky_path = asset_path_search(world.skydome_file_name, roots)
     if sky_path:

@@ -123,6 +123,10 @@ class GpuScene(NamedTuple):
     sky_pos: jnp.ndarray  # (Vs, 3)
     sky_uv: jnp.ndarray  # (Vs, 2)
     sky_tri: jnp.ndarray  # (Ts, 3)
+    # (radius, u_phase) of the dome sphere — the analytic skydome path
+    # reproduces the mesh's equirect mapping exactly (skydome.obj maps
+    # u = azimuth/2pi + 0.75).
+    sky_params: jnp.ndarray  # (2,) f32
 
     # GPU-driven meshlet path (the reference's indirect-draw data,
     # XkMeshlet ZeldaEngine.cpp:689 / vkCmdDrawIndexedIndirect :3616,
@@ -188,6 +192,25 @@ class SceneBuilder:
             inward=True,
         )
         self._sky_mesh = sky_mesh
+        self._sky_params = np.array(
+            [getattr(config, "skydome_radius", 30.0), 0.0], np.float32
+        )
+
+    def set_skydome_mesh(self, mesh: Mesh) -> None:
+        """Use a real dome asset (e.g. Content/Models/skydome.obj) instead
+        of the procedural sphere. Derives the sphere radius and the
+        equirect U phase so the analytic skydome path matches the asset's
+        UV mapping."""
+        self._sky_mesh = mesh
+        r = np.linalg.norm(mesh.positions, axis=1)
+        radius = float(r.mean())
+        p = mesh.positions / np.maximum(r[:, None], 1e-9)
+        u_pred = np.mod(np.arctan2(p[:, 1], p[:, 0]) / (2 * np.pi), 1.0)
+        # Exclude pole vertices (azimuth undefined there).
+        ok = np.abs(p[:, 2]) < 0.99
+        shift = np.mod(mesh.uvs[ok, 0] - u_pred[ok], 1.0)
+        u_phase = float(np.median(shift)) if ok.any() else 0.0
+        self._sky_params = np.array([radius, u_phase], np.float32)
 
     # ---------------------------------------------------------------- assets
 
@@ -297,44 +320,109 @@ class SceneBuilder:
 
     def add_meshlet_object(self, meshlet_set, material: int,
                            two_sided: bool = False,
-                           deferred: bool = True) -> None:
+                           deferred: bool = True,
+                           instances: Optional[np.ndarray] = None) -> None:
         """Add a baked meshlet object (the indirect-draw path:
         CreateMeshVertexBuffers<XkMeshIndirect>, ZeldaEngine.cpp:4733-4756):
         vertices re-expanded by meshletVertices, triangles from the 8-bit
-        local index stream, one cullable record per meshlet."""
+        local index stream, one cullable record per meshlet.
+
+        ``instances`` (N, 8: pos3 rot3 pscale texIndex) replicates the
+        object with baked transforms — the indirect-INSTANCED class the
+        reference records at ZeldaEngine.cpp:3597-3635 — with per-instance
+        meshlet records so culling stays per (meshlet, instance)."""
         ms = meshlet_set
         verts = ms.vertices  # (V, 8): pos3, nrm3, uv2
-        base_pair = sum(p.shape[0] for p in self._pair_pos)
         # Expanded vertex pool in meshlet-vertex order.
         vids = ms.meshlet_vertices.astype(np.int64)
-        pos = verts[vids, 0:3].astype(np.float32)
-        nrm = verts[vids, 3:6].astype(np.float32)
-        uv = verts[vids, 6:8].astype(np.float32)
-        n_exp = pos.shape[0]
-        col = _hue2rgb_np(np.arange(n_exp, dtype=np.float32) * 1.71)
-        self._pair_pos.append(pos)
-        self._pair_nrm.append(nrm)
-        self._pair_col.append(col.astype(np.float32))
-        self._pair_uv.append(uv)
-        self._pair_rot.append(np.zeros(n_exp, np.int32))
+        pos1 = verts[vids, 0:3].astype(np.float32)
+        nrm1 = verts[vids, 3:6].astype(np.float32)
+        uv1 = verts[vids, 6:8].astype(np.float32)
+        n_exp = pos1.shape[0]
 
-        rec_base = len(self._meshlet_records)
+        if instances is None:
+            instances = np.zeros((1, 8), np.float32)
+            instances[0, 6] = 1.0
+        n_inst = instances.shape[0]
+        self._num_instances += n_inst
+
+        rot_mats = _make_rot_np(instances[:, 3:6]).transpose(0, 2, 1)
+        identity = np.abs(instances[:, 3:6]).sum(-1) == 0
+        rot_idx = np.zeros(n_inst, np.int32)
+        nonid = np.flatnonzero(~identity)
+        if nonid.size:
+            rot_idx[nonid] = self._rot_count + np.arange(
+                nonid.size, dtype=np.int32
+            )
+            self._rots.append(rot_mats[nonid].astype(np.float32))
+            self._rot_count += nonid.size
+
+        base_pair = sum(p.shape[0] for p in self._pair_pos)
+        scaled = pos1[None] * instances[:, None, 6:7]
+        staged = np.einsum("nij,nvj->nvi", rot_mats, scaled) \
+            + instances[:, None, :3]
+        col = _hue2rgb_np(np.arange(n_exp, dtype=np.float32) * 1.71)
+        self._pair_pos.append(staged.reshape(-1, 3).astype(np.float32))
+        self._pair_nrm.append(
+            np.broadcast_to(nrm1, (n_inst, n_exp, 3)).reshape(-1, 3).copy()
+        )
+        self._pair_col.append(
+            np.broadcast_to(col, (n_inst, n_exp, 3))
+            .reshape(-1, 3).astype(np.float32)
+        )
+        self._pair_uv.append(
+            np.broadcast_to(uv1, (n_inst, n_exp, 2)).reshape(-1, 2).copy()
+        )
+        self._pair_rot.append(np.repeat(rot_idx, n_exp))
+
+        n_rec = sum(len(r) for r in self._meshlet_records)
         tri_list = []
-        mesh_ids = []
+        local_ids = []
         for mi, m in enumerate(ms.meshlets):
             tris = ms.meshlet_triangles[
                 m.triangle_offset : m.triangle_offset + m.triangle_count * 3
             ].reshape(-1, 3).astype(np.int32)
-            tri_list.append(tris + (base_pair + m.vertex_offset))
-            mesh_ids.append(np.full(tris.shape[0], rec_base + mi, np.int32))
-        tri = np.concatenate(tri_list)
+            tri_list.append(tris + m.vertex_offset)
+            local_ids.append(np.full(tris.shape[0], mi, np.int32))
+        tri1 = np.concatenate(tri_list)  # object-local pair indices
+        lid1 = np.concatenate(local_ids)
+        t1 = tri1.shape[0]
+        n_mesh = len(ms.meshlets)
+
+        # Replicate triangles and meshlet ids per instance.
+        tri = (
+            tri1[None, :, :]
+            + (base_pair + np.arange(n_inst)[:, None, None] * n_exp)
+        ).reshape(-1, 3)
+        mesh_ids = (
+            lid1[None, :]
+            + (n_rec + np.arange(n_inst)[:, None] * n_mesh)
+        ).reshape(-1)
         t = tri.shape[0]
-        self._tri_vtx.append(tri)
+        self._tri_vtx.append(tri.astype(np.int32))
         self._tri_mat.append(np.full(t, material, np.int32))
         self._tri_two_sided.append(np.full(t, two_sided, bool))
         self._tri_deferred.append(np.full(t, deferred, bool))
-        self._tri_meshlet.append(np.concatenate(mesh_ids))
-        self._meshlet_records.append(np.asarray(ms.arrays(), np.float32))
+        self._tri_meshlet.append(mesh_ids.astype(np.int32))
+
+        # Per-instance cull records: transform bounds/cone by the instance.
+        rec1 = np.asarray(ms.arrays(), np.float32)  # (M, 16)
+        recs = np.broadcast_to(rec1, (n_inst, n_mesh, 16)).copy()
+        s = instances[:, None, 6:7]
+        recs[..., 4:7] = (
+            np.einsum("nij,nmj->nmi", rot_mats, rec1[None, :, 4:7] * s)
+            + instances[:, None, :3]
+        )
+        recs[..., 7] = rec1[None, :, 7] * instances[:, None, 6]
+        recs[..., 8:11] = (
+            np.einsum("nij,nmj->nmi", rot_mats, rec1[None, :, 8:11] * s)
+            + instances[:, None, :3]
+        )
+        recs[..., 11:14] = np.einsum(
+            "nij,nmj->nmi", rot_mats, np.broadcast_to(
+                rec1[None, :, 11:14], (n_inst, n_mesh, 3))
+        )
+        self._meshlet_records.append(recs.reshape(-1, 16))
 
     # ----------------------------------------------------------------- build
 
@@ -451,15 +539,19 @@ class SceneBuilder:
             mat_tex=jnp.asarray(mats),
             mat_packed=jnp.asarray(mat_packed),
             mat_combined=jnp.asarray(mat_combined),
-            combined_atlas=jnp.asarray(combined_atlas),
+            combined_atlas=jnp.asarray(combined_atlas, jnp.bfloat16),
             tex_atlas=jnp.asarray(build_mip_atlas(np.stack(self.textures))),
             # Neighborhood-packed (16-ch rows): trilinear = 2 flat gathers.
-            cube_atlas=jnp.asarray(_bma(self.cube_faces)),
-            sky_tex=jnp.asarray(_bma(self.sky_image[None])),
-            bg_tex=jnp.asarray(_bma(self.bg_image[None])),
+            # bf16 storage halves gather-table bytes; 8-bit texture sources
+            # carry less precision than bf16 keeps, and samplers cast the
+            # fetched texels back to f32 before filtering.
+            cube_atlas=jnp.asarray(_bma(self.cube_faces), jnp.bfloat16),
+            sky_tex=jnp.asarray(_bma(self.sky_image[None]), jnp.bfloat16),
+            bg_tex=jnp.asarray(_bma(self.bg_image[None]), jnp.bfloat16),
             sky_pos=jnp.asarray(sky.positions),
             sky_uv=jnp.asarray(sky.uvs),
             sky_tri=jnp.asarray(sky.indices),
+            sky_params=jnp.asarray(self._sky_params),
             meshlet_records=jnp.asarray(meshlet_records),
             tri_meshlet=jnp.asarray(tri_meshlet_arr),
         )

@@ -210,14 +210,15 @@ class World:
 
     @staticmethod
     def _light_from_json(j: dict) -> LightDesc:
+        d = LightDesc()
         return LightDesc(
-            position=_vec(j["Position"]),
-            type=int(j["Type"]),
-            color=_vec(j["Color"]),
-            intensity=float(j["Intensity"]),
-            direction=_vec(j["Direction"]),
-            radius=float(j["Radius"]),
-            extra_data=_vec(j["ExtraData"], 4),
+            position=_vec(j.get("Position", d.position)),
+            type=int(j.get("Type", d.type)),
+            color=_vec(j.get("Color", d.color)),
+            intensity=float(j.get("Intensity", d.intensity)),
+            direction=_vec(j.get("Direction", d.direction)),
+            radius=float(j.get("Radius", d.radius)),
+            extra_data=_vec(j.get("ExtraData", d.extra_data), 4),
         )
 
     @staticmethod
@@ -233,7 +234,11 @@ class World:
         }
 
     def load(self, raw_data: Optional[str] = None) -> "World":
-        """XkWorld::Load (:1051): reset then parse from file or raw string."""
+        """XkWorld::Load (:1051): reset then parse from file or raw string.
+
+        Degrades gracefully per key (like rapidjson's HasMember guards in
+        the reference): missing sections/fields keep their Reset defaults
+        instead of rejecting the whole world."""
         self.reset()
         if raw_data is None:
             with open(self.file_path, "r") as f:
@@ -241,52 +246,65 @@ class World:
         else:
             doc = json.loads(raw_data)
 
-        cam = doc["MainCamera"]
+        cam = doc.get("MainCamera", {})
+        d = CameraDesc()
         self.main_camera = CameraDesc(
-            position=_vec(cam["Position"]),
-            lookat=_vec(cam["Lookat"]),
-            speed=float(cam["Speed"]),
-            fov=float(cam["FOV"]),
-            z_near=float(cam["zNear"]),
-            z_far=float(cam["zFar"]),
+            position=_vec(cam.get("Position", d.position)),
+            lookat=_vec(cam.get("Lookat", d.lookat)),
+            speed=float(cam.get("Speed", d.speed)),
+            fov=float(cam.get("FOV", d.fov)),
+            z_near=float(cam.get("zNear", d.z_near)),
+            z_far=float(cam.get("zFar", d.z_far)),
         )
 
-        sky = doc["Skydome"]
-        self.enable_skydome = bool(sky["EnableSkydome"])
-        self.override_skydome = bool(sky["OverrideSkydome"])
-        self.skydome_file_name = sky["SkydomeFileName"]
-        self.override_cubemap = bool(sky["OverrideCubemap"])
-        names = list(sky["CubemapFileNames"])
+        sky = doc.get("Skydome", {})
+        self.enable_skydome = bool(sky.get("EnableSkydome",
+                                           self.enable_skydome))
+        self.override_skydome = bool(sky.get("OverrideSkydome",
+                                             self.override_skydome))
+        self.skydome_file_name = sky.get("SkydomeFileName",
+                                         self.skydome_file_name)
+        self.override_cubemap = bool(sky.get("OverrideCubemap",
+                                             self.override_cubemap))
+        names = list(sky.get("CubemapFileNames", []))
         for i, name in enumerate(names[:6]):
             self.cubemap_file_names[i] = name
 
-        bg = doc["Background"]
-        self.enable_background = bool(bg["EnableBackground"])
-        self.override_background = bool(bg["OverrideBackground"])
-        self.background_file_name = bg["BackgroundFileName"]
+        bg = doc.get("Background", {})
+        self.enable_background = bool(bg.get("EnableBackground",
+                                             self.enable_background))
+        self.override_background = bool(bg.get("OverrideBackground",
+                                               self.override_background))
+        self.background_file_name = bg.get("BackgroundFileName",
+                                           self.background_file_name)
 
         self.directional_lights = [
-            self._light_from_json(j) for j in doc["DirectionalLights"]
+            self._light_from_json(j) for j in doc.get("DirectionalLights", [])
         ]
-        self.point_lights = [self._light_from_json(j) for j in doc["PointLights"]]
-        self.spot_lights = [self._light_from_json(j) for j in doc["SpotLights"]]
+        self.point_lights = [
+            self._light_from_json(j) for j in doc.get("PointLights", [])
+        ]
+        self.spot_lights = [
+            self._light_from_json(j) for j in doc.get("SpotLights", [])
+        ]
 
-        for j in doc["Objects"]:
+        for j in doc.get("Objects", []):
             self.object_descs.append(
                 ObjectDesc(
-                    profab_name=j["ProfabName"],
-                    render_flags=int(j["RenderFlags"]),
-                    instance_count=int(j["InstanceCount"]),
-                    min_radius=float(j["MinRadius"]),
-                    max_radius=float(j["MaxRadius"]),
-                    min_rot_yaw=float(j["MinRotYaw"]),
-                    max_rot_yaw=float(j["MaxRotYaw"]),
-                    min_rot_roll=float(j["MinRotRoll"]),
-                    max_rot_roll=float(j["MaxRotRoll"]),
-                    min_rot_pitch=float(j["MinRotPitch"]),
-                    max_rot_pitch=float(j["MaxRotPitch"]),
-                    min_pscale=float(j["MinPScale"]),
-                    max_pscale=float(j["MaxPScale"]),
+                    profab_name=j.get("ProfabName", ""),
+                    render_flags=int(j.get("RenderFlags",
+                                           int(RenderFlags.NONE))),
+                    instance_count=int(j.get("InstanceCount", 0)),
+                    min_radius=float(j.get("MinRadius", 0.0)),
+                    max_radius=float(j.get("MaxRadius", 0.0)),
+                    min_rot_yaw=float(j.get("MinRotYaw", 0.0)),
+                    max_rot_yaw=float(j.get("MaxRotYaw", 0.0)),
+                    min_rot_roll=float(j.get("MinRotRoll", 0.0)),
+                    max_rot_roll=float(j.get("MaxRotRoll", 0.0)),
+                    min_rot_pitch=float(j.get("MinRotPitch", 0.0)),
+                    max_rot_pitch=float(j.get("MaxRotPitch", 0.0)),
+                    min_pscale=float(j.get("MinPScale", 0.0)),
+                    max_pscale=float(j.get("MaxPScale", 0.0)),
                 )
             )
         return self
