@@ -47,7 +47,10 @@ def main() -> None:
     parser.add_argument("--config", type=int, default=3,
                         choices=(1, 2, 3, 4, 5))
     parser.add_argument("--frames", type=int, default=8)
-    parser.add_argument("--grass", type=int, default=400)
+    # Headline default = the reference demo scale: 2 x 10,000 grass + 65
+    # rocks + terrain (ZeldaUntitled.py:103-128).
+    parser.add_argument("--grass", type=int, default=10000)
+    parser.add_argument("--rocks", type=int, default=65)
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--profile", action="store_true",
                         help="per-pass ms breakdown (profiling.py)")
@@ -215,7 +218,16 @@ def main() -> None:
 
     else:  # config 3, headline
         config = EngineConfig(width=1920, height=1080)
-        scene, meta, world = build_demo_scene(config, grass=args.grass)
+        t0 = time.time()
+        scene, meta, world = build_demo_scene(config, grass=args.grass,
+                                              rocks=args.rocks)
+        build_s = time.time() - t0
+        # Livelink reload budget: rebuild the scene pools once more, warm.
+        t0 = time.time()
+        build_demo_scene(config, grass=args.grass, rocks=args.rocks)
+        detail.update(scene_build_s=round(build_s, 2),
+                      scene_rebuild_s=round(time.time() - t0, 2),
+                      instances=meta.num_instances)
         metric, unit, target = "1080p deferred-PBR frames/sec", "fps", 60.0
 
     n_tris = meta.num_triangles

@@ -83,6 +83,15 @@ class EngineConfig:
     enable_skydome: bool = True
     enable_background: bool = False
 
+    # Tiled light culling (the deferred analogue of Forward+): when the
+    # point-light capacity exceeds the unroll limit, lights are binned to
+    # screen tiles (conservative projected-sphere vs tile rect) and each
+    # pixel shades at most max_tile_lights. Tile dims must divide the
+    # frame (8 x 128 divides 1080 x 1920).
+    max_tile_lights: int = 32
+    light_tile_h: int = 8
+    light_tile_w: int = 128
+
     # zFar sentinel for empty depth buffer
     depth_clear: float = 1.0
 

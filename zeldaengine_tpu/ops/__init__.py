@@ -5,10 +5,15 @@ from zeldaengine_tpu.ops.rasterize import (
 )
 from zeldaengine_tpu.ops.rasterize_pallas import (
     build_chunks,
+    choose_binning,
     rasterize_pallas,
 )
 from zeldaengine_tpu.ops.culling import meshlet_cull, expand_meshlet_mask
-from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
+from zeldaengine_tpu.ops.shadow import (
+    compute_shadow_coord,
+    compute_pcf,
+    compute_pcf_packed,
+)
 from zeldaengine_tpu.ops.pcf_pallas import compute_pcf_pallas
 
 __all__ = [
@@ -16,10 +21,12 @@ __all__ = [
     "rasterize_visibility",
     "rasterize_depth",
     "build_chunks",
+    "choose_binning",
     "rasterize_pallas",
     "meshlet_cull",
     "expand_meshlet_mask",
     "compute_shadow_coord",
     "compute_pcf",
+    "compute_pcf_packed",
     "compute_pcf_pallas",
 ]

@@ -30,6 +30,7 @@ def direct_lighting(
     n_point,  # () int32
     spot_lights=None,  # (Ls, 4, 4) or None
     n_spot=None,  # () int32
+    tiled_points=None,  # (tile_idx, tile_cnt, tile_h, tile_w) or None
 ):
     """Sum of the light loops (directional applies the shadow factor,
     point lights do not — Base.frag:86 vs :98).
@@ -109,10 +110,126 @@ def direct_lighting(
         )
 
     acc = accumulate(acc, dir_lights, dir_contrib)
-    acc = accumulate(acc, point_lights, point_contrib)
+    if tiled_points is not None and point_lights.shape[0] > UNROLL_LIMIT:
+        tile_idx, tile_cnt, lt_h, lt_w = tiled_points
+        acc = acc + _point_lighting_tiled(
+            diffuse_color, roughness, n, p, v, ndotv,
+            point_lights, tile_idx, tile_cnt, lt_h, lt_w,
+        )
+    else:
+        acc = accumulate(acc, point_lights, point_contrib)
     if spot_lights is not None:
         acc = accumulate(acc, spot_lights, spot_contrib)
     return acc
+
+
+def cull_point_lights_tiled(
+    point_lights,  # (L, 4, 4)
+    n_point,  # () int32
+    view,  # ViewState (view_proj, camera_fov, viewport)
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    k_max: int,
+):
+    """Per-screen-tile point-light lists: conservative projected-sphere vs
+    tile-rect binning + top-k_max compaction.
+
+    The reference carries a 512-point-light capacity (ZeldaEngine.cpp:85)
+    and brute-force loops them per pixel (BaseLighting.frag:182-207); this
+    is the tiled-deferred culling that makes that capacity usable.
+    Returns (tile_idx (Ty, Tx, K) int32, tile_cnt (Ty, Tx) int32).
+    """
+    pos = point_lights[:, 0, :3]
+    radius = jnp.maximum(point_lights[:, 2, 3], 0.0)
+    clip = (
+        pos @ view.view_proj[:3, :3].T + view.view_proj[:3, 3]
+    )
+    w = pos @ view.view_proj[3, :3] + view.view_proj[3, 3]
+    safe_w = jnp.maximum(jnp.abs(w), 1e-6)
+    cx = (clip[:, 0] / jnp.where(w > 0, safe_w, -safe_w) * 0.5 + 0.5) * width
+    cy = (clip[:, 1] / jnp.where(w > 0, safe_w, -safe_w) * 0.5 + 0.5) * height
+    # Conservative screen radius from the projection's focal length.
+    f = 1.0 / jnp.tan(jnp.radians(view.camera_fov) * 0.5)
+    aspect = width / height
+    rx = radius * (f / aspect) / safe_w * 0.5 * width
+    ry = radius * f / safe_w * 0.5 * height
+    # Behind/crossing the camera plane: keep everywhere (conservative).
+    near_cam = w < radius + 0.1
+    x0 = jnp.where(near_cam, 0.0, cx - rx)
+    x1 = jnp.where(near_cam, float(width), cx + rx)
+    y0 = jnp.where(near_cam, 0.0, cy - ry)
+    y1 = jnp.where(near_cam, float(height), cy + ry)
+
+    n_ty = height // tile_h
+    n_tx = width // tile_w
+    tx = jnp.arange(n_tx, dtype=jnp.float32) * tile_w
+    ty = jnp.arange(n_ty, dtype=jnp.float32) * tile_h
+    ox = (x1[:, None] >= tx[None, :]) & (x0[:, None] <= tx[None, :] + tile_w)
+    oy = (y1[:, None] >= ty[None, :]) & (y0[:, None] <= ty[None, :] + tile_h)
+    live = jnp.arange(point_lights.shape[0]) < n_point
+    mask = (
+        oy[:, :, None] & ox[:, None, :] & live[:, None, None]
+    )  # (L, Ty, Tx)
+    mask = jnp.moveaxis(mask, 0, -1)  # (Ty, Tx, L)
+    # Compact: light indices with hits first (stable order), capped at K.
+    order = jnp.argsort(~mask, axis=-1, stable=True)
+    tile_idx = order[..., :k_max].astype(jnp.int32)
+    tile_cnt = jnp.minimum(mask.sum(-1), k_max).astype(jnp.int32)
+    return tile_idx, tile_cnt
+
+
+def _point_lighting_tiled(
+    diffuse_color, roughness, n, p, v, ndotv,
+    point_lights, tile_idx, tile_cnt, tile_h: int, tile_w: int,
+):
+    """Shade each pixel with its tile's culled light list: a fori_loop over
+    the K slots; slot k's light parameters are gathered per tile (a few
+    thousand indices) and broadcast over the tile's pixels."""
+    height, width = diffuse_color.shape[:2]
+    n_ty, n_tx = tile_idx.shape[:2]
+    k_max = tile_idx.shape[2]
+
+    def t5(a, c):
+        return a.reshape(n_ty, tile_h, n_tx, tile_w, c)
+
+    dc5 = t5(diffuse_color, 3)
+    r5 = t5(roughness, 1)[..., 0]
+    n5 = t5(n, 3)
+    p5 = t5(p, 3)
+    v5 = t5(v, 3)
+    nv5 = t5(ndotv, 1)[..., 0]
+
+    def body(k, acc):
+        li = tile_idx[:, :, k]  # (Ty, Tx)
+        lt = point_lights[li]  # (Ty, Tx, 4, 4)
+        on = (k < tile_cnt).astype(jnp.float32)[:, None, :, None]
+
+        def b(x):  # (Ty, Tx) or (Ty, Tx, 3) -> tile-broadcast shape
+            if x.ndim == 2:
+                return x[:, None, :, None]
+            return x[:, None, :, None, :]
+
+        l_dir = pbr.normalize(b(lt[..., 0, :3]) - p5)
+        h = pbr.normalize(v5 + l_dir)
+        ldoth = pbr.saturate(jnp.sum(l_dir * h, -1))
+        ndoth = pbr.saturate(jnp.sum(n5 * h, -1))
+        ndotl = pbr.saturate(jnp.sum(n5 * l_dir, -1))
+        dif, spec = pbr.default_lit_bxdf(dc5, r5, ldoth, nv5, ndotl, ndoth)
+        radiance = pbr.apply_point_light(
+            b(lt[..., 0, :3]), b(lt[..., 1, :3]),
+            jnp.broadcast_to(b(lt[..., 1, 3]), ndotl.shape),
+            jnp.broadcast_to(b(lt[..., 2, 3]), ndotl.shape),
+            p5, n5,
+        )
+        return acc + radiance * (dif + spec[..., None]) * on[..., None]
+
+    acc = jax.lax.fori_loop(
+        0, k_max, body,
+        jnp.zeros((n_ty, tile_h, n_tx, tile_w, 3), jnp.float32),
+    )
+    return acc.reshape(height, width, 3)
 
 
 def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
@@ -134,7 +251,7 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
 
 def shade_pixels(
     base_color, metallic, roughness, normal, ao, world_pos,
-    shadow_factor, view, cube_atlas, cubemap_size,
+    shadow_factor, view, cube_atlas, cubemap_size, tiled_points=None,
 ):
     """Full lighting shared by forward and deferred paths.
 
@@ -164,6 +281,7 @@ def shade_pixels(
         view.dir_lights, view.lights_count[0],
         view.point_lights, view.lights_count[1],
         view.spot_lights, view.lights_count[2],
+        tiled_points=tiled_points,
     )
     indirect = diffuse_color / jnp.pi * (ao * 0.3 * shadow_factor)[..., None]
     refl = reflection_color(

@@ -55,6 +55,26 @@ def choose_chunk(n_tris: int, n_tiles: int, base: int = 128) -> int:
     return chunk
 
 
+def choose_binning(n_tris: int, n_ty: int, n_tx: int,
+                   base: int = 128) -> tuple:
+    """Pick (chunk, gy) so the resident table fits in SMEM while keeping
+    chunks small: before growing the chunk (which multiplies wasted
+    raster work — every active (tile, chunk) pair runs the whole chunk),
+    coarsen the table's ROW granularity to supertiles of gy tile rows
+    (binning slack grows only by the supertile height)."""
+    chunk = base
+    gy = 1
+    while True:
+        n_sy = -(-n_ty // gy)
+        n_chunks = -(-max(n_tris, 1) // chunk)
+        if n_sy * n_tx * n_chunks * 4 <= SMEM_TABLE_BUDGET:
+            return chunk, gy
+        if gy < 4:
+            gy *= 2
+        else:
+            chunk += 128
+
+
 class ChunkedTriangles(NamedTuple):
     records: jnp.ndarray  # (n_chunks, 16, K) float32 coefficient rows
     resident: jnp.ndarray  # (n_tiles, n_chunks) int32 chunk to keep loaded
@@ -69,11 +89,14 @@ def build_chunks(
     tile_w: int,
     chunk: int,
     y0_tiles=0,
+    gy: int = 1,
 ) -> ChunkedTriangles:
     """Pack a TriangleSetup into chunked records + binning tables.
 
     ``y0_tiles`` (traced ok) offsets the tile rows for row-band rendering:
     the band covers global tile rows [y0_tiles, y0_tiles + height/tile_h).
+    ``gy`` groups tile rows into supertiles for the SMEM table (see
+    choose_binning).
     """
     edge = setup.edge
     t = edge.shape[0]
@@ -88,11 +111,14 @@ def build_chunks(
     # Invalid triangles: replace with a never-hit record (e2 const = -1).
     never = jnp.zeros((16,), jnp.float32).at[2].set(-1.0).at[5].set(-1.0) \
         .at[8].set(-1.0)
+    # Rows 12-15 carry the pixel-space bbox (x0, y0, x1, y1): the kernel
+    # uses it for tile- and subtile-level early-outs (invalid/padded
+    # triangles get a zero-area bbox, so they also fail the overlap test).
     rec = jnp.concatenate(
         [
             edge.reshape(t, 9),
             zrow,
-            jnp.zeros((t, 4), jnp.float32),
+            jnp.where(setup.valid[:, None], setup.bbox, 0.0),
         ],
         axis=1,
     )  # (T, 16)
@@ -110,18 +136,21 @@ def build_chunks(
     ty0 = jnp.floor(bbox[:, 1] / tile_h)
     tx1 = jnp.ceil(bbox[:, 2] / tile_w) - 1.0
     ty1 = jnp.ceil(bbox[:, 3] / tile_h) - 1.0
+    n_sy = -(-n_ty // gy)
     xs = jnp.arange(n_tx, dtype=jnp.float32)
-    ys = jnp.arange(n_ty, dtype=jnp.float32) + jnp.asarray(
+    # Supertile row s spans global tile rows [y0 + s*gy, y0 + s*gy + gy).
+    ys = jnp.arange(n_sy, dtype=jnp.float32) * gy + jnp.asarray(
         y0_tiles, jnp.float32
     )
     ox = ((xs[None, :] >= tx0[:, None]) & (xs[None, :] <= tx1[:, None]))
-    oy = ((ys[None, :] >= ty0[:, None]) & (ys[None, :] <= ty1[:, None]))
+    oy = ((ys[None, :] + (gy - 1) >= ty0[:, None])
+          & (ys[None, :] <= ty1[:, None]))
     ox = ox.astype(jnp.float32).reshape(n_chunks, chunk, n_tx)
-    oy = oy.astype(jnp.float32).reshape(n_chunks, chunk, n_ty)
-    # count[c, ty, tx] = sum_k oy * ox  -> active iff > 0
+    oy = oy.astype(jnp.float32).reshape(n_chunks, chunk, n_sy)
+    # count[c, sy, tx] = sum_k oy * ox  -> active iff > 0
     counts = jnp.einsum("cky,ckx->cyx", oy, ox,
                         precision=jax.lax.Precision.DEFAULT)
-    active = (counts > 0.5).transpose(1, 2, 0).reshape(n_ty * n_tx, n_chunks)
+    active = (counts > 0.5).transpose(1, 2, 0).reshape(n_sy * n_tx, n_chunks)
 
     # resident[t, c] == c exactly when chunk c is active for tile t (the
     # cummax holds the last active chunk index), so one table serves as
@@ -152,9 +181,11 @@ def _vis_kernel(
     n_tx: int,
     sub_rows: int,
     depth_only: bool,
+    gy: int = 1,
 ):
     t = pl.program_id(0)
     c = pl.program_id(1)
+    s = (t // n_tx // gy) * n_tx + t % n_tx  # supertile table row
 
     @pl.when(c == 0)
     def _init():
@@ -162,12 +193,27 @@ def _vis_kernel(
         if not depth_only:
             tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
 
-    @pl.when(resident_ref[t, c] == c)
+    ty = t // n_tx
+    tx = t % n_tx
+    base_x = (tx * tile_w).astype(jnp.int32)
+    base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
+
+    # Tile-level early-out: the supertile binning is row-coarse (gy tile
+    # rows) and bbox-conservative; triangles' pixel bboxes (record rows
+    # 12-15) reject whole tiles/subtiles cheaply.
+    bx0 = tri_ref[0, 12:13, :]
+    by0 = tri_ref[0, 13:14, :]
+    bx1 = tri_ref[0, 14:15, :]
+    by1 = tri_ref[0, 15:16, :]
+    fx_lo = base_x.astype(jnp.float32)
+    fy_lo = base_y.astype(jnp.float32)
+    hit_tile = (
+        (bx0 < fx_lo + tile_w) & (bx1 > fx_lo)
+        & (by0 < fy_lo + tile_h) & (by1 > fy_lo)
+    )  # (1, chunk)
+
+    @pl.when((resident_ref[s, c] == c) & jnp.any(hit_tile))
     def _raster():
-        ty = t // n_tx
-        tx = t % n_tx
-        base_x = (tx * tile_w).astype(jnp.int32)
-        base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
         c_base = c * chunk
         n_sub = tile_h // sub_rows
         p_sub = sub_rows * tile_w
@@ -177,73 +223,83 @@ def _vis_kernel(
             k_inner -= 128
         n_kb = chunk // k_inner
 
-        for s in range(n_sub):
-            # Pixel coords: sublane axis = flattened (sub_rows, tile_w).
-            lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
-            px = (base_x + jnp.mod(lin, tile_w)).astype(jnp.float32) + 0.5
-            py = (
-                base_y + s * sub_rows + lin // tile_w
-            ).astype(jnp.float32) + 0.5
+        for sb in range(n_sub):
+            band_lo = fy_lo + sb * sub_rows
+            hit_band = hit_tile & (by0 < band_lo + sub_rows) \
+                & (by1 > band_lo)
 
-            def kb_body(kb, carry):
-                best, best_id = carry
-                sl = tri_ref[0, :, pl.ds(kb * k_inner, k_inner)]
+            @pl.when(jnp.any(hit_band))
+            def _band(sb=sb):
+                # Pixel coords: sublane axis = flat (sub_rows, tile_w).
+                lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
+                px = (base_x + jnp.mod(lin, tile_w)).astype(
+                    jnp.float32
+                ) + 0.5
+                py = (
+                    base_y + sb * sub_rows + lin // tile_w
+                ).astype(jnp.float32) + 0.5
 
-                def form(r, sl=sl):
-                    return (
-                        px * sl[r : r + 1, :]
-                        + py * sl[r + 1 : r + 2, :]
-                        + sl[r + 2 : r + 3, :]
-                    )  # (p_sub, k_inner)
+                def kb_body(kb, carry):
+                    best, best_id = carry
+                    sl = tri_ref[0, :, pl.ds(kb * k_inner, k_inner)]
 
-                e0 = form(0)
-                e1 = form(3)
-                e2 = form(6)
-                d = form(9)
-                esum = e0 + e1 + e2
-                inside = (
-                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (esum > 0.0)
-                    & (d >= 0.0) & (d <= 1.0)
+                    def form(r, sl=sl):
+                        return (
+                            px * sl[r : r + 1, :]
+                            + py * sl[r + 1 : r + 2, :]
+                            + sl[r + 2 : r + 3, :]
+                        )  # (p_sub, k_inner)
+
+                    e0 = form(0)
+                    e1 = form(3)
+                    e2 = form(6)
+                    d = form(9)
+                    esum = e0 + e1 + e2
+                    inside = (
+                        (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                        & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+                    )
+                    cand = jnp.where(inside, d, NO_HIT)
+                    kb_best = jnp.min(cand, axis=1)  # (p_sub,)
+                    if not depth_only:
+                        kb_arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
+                        kb_id = (c_base + kb * k_inner) + kb_arg
+                        take_kb = kb_best < best
+                        best_id = jnp.where(take_kb, kb_id, best_id)
+                        best = jnp.where(take_kb, kb_best, best)
+                    else:
+                        best = jnp.minimum(best, kb_best)
+                    return best, best_id
+
+                best, best_id = jax.lax.fori_loop(
+                    0, n_kb, kb_body,
+                    (jnp.full((p_sub,), NO_HIT, jnp.float32),
+                     jnp.zeros((p_sub,), jnp.int32)),
                 )
-                cand = jnp.where(inside, d, NO_HIT)
-                kb_best = jnp.min(cand, axis=1)  # (p_sub,)
-                if not depth_only:
-                    kb_arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
-                    kb_id = (c_base + kb * k_inner) + kb_arg
-                    take_kb = kb_best < best
-                    best_id = jnp.where(take_kb, kb_id, best_id)
-                    best = jnp.where(take_kb, kb_best, best)
-                else:
-                    best = jnp.minimum(best, kb_best)
-                return best, best_id
 
-            best, best_id = jax.lax.fori_loop(
-                0, n_kb, kb_body,
-                (jnp.full((p_sub,), NO_HIT, jnp.float32),
-                 jnp.zeros((p_sub,), jnp.int32)),
-            )
-
-            cur = depth_ref[
-                pl.ds(s * sub_rows, sub_rows), :
-            ].reshape(p_sub)
-            take = best < cur
-            new_depth = jnp.where(take, best, cur).reshape(sub_rows, tile_w)
-            depth_ref[pl.ds(s * sub_rows, sub_rows), :] = new_depth
-            if not depth_only:
-                cur_t = tid_ref[
-                    pl.ds(s * sub_rows, sub_rows), :
+                cur = depth_ref[
+                    pl.ds(sb * sub_rows, sub_rows), :
                 ].reshape(p_sub)
-                new_t = jnp.where(take, best_id, cur_t).reshape(
+                take = best < cur
+                new_depth = jnp.where(take, best, cur).reshape(
                     sub_rows, tile_w
                 )
-                tid_ref[pl.ds(s * sub_rows, sub_rows), :] = new_t
+                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = new_depth
+                if not depth_only:
+                    cur_t = tid_ref[
+                        pl.ds(sb * sub_rows, sub_rows), :
+                    ].reshape(p_sub)
+                    new_t = jnp.where(take, best_id, cur_t).reshape(
+                        sub_rows, tile_w
+                    )
+                    tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = new_t
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "chunk", "sub_rows",
-        "depth_only",
+        "depth_only", "gy",
     ),
 )
 def rasterize_pallas(
@@ -253,10 +309,11 @@ def rasterize_pallas(
     init_depth: jnp.ndarray | None = None,
     tile_h: int = 32,
     tile_w: int = 128,
-    chunk: int = 256,
+    chunk: int = 128,
     sub_rows: int = 8,
     depth_only: bool = False,
     y0_tiles=0,
+    gy: int = 1,
 ):
     """Rasterize chunked triangles to (depth, tri_id) visibility buffers.
 
@@ -267,9 +324,10 @@ def rasterize_pallas(
     n_tx = width // tile_w
     n_ty = height // tile_h
     n_tiles = n_ty * n_tx
+    n_sy = -(-n_ty // gy)
     n_chunks = chunks.records.shape[0]
-    assert chunks.resident.shape == (n_tiles, n_chunks), (
-        chunks.resident.shape, (n_tiles, n_chunks))
+    assert chunks.resident.shape == (n_sy * n_tx, n_chunks), (
+        chunks.resident.shape, (n_sy * n_tx, n_chunks))
 
     if init_depth is None:
         init_depth = jnp.ones((height, width), jnp.float32)
@@ -282,19 +340,21 @@ def rasterize_pallas(
         n_tx=n_tx,
         sub_rows=sub_rows,
         depth_only=depth_only,
+        gy=gy,
     )
 
     def tile_index(t, c, y0, resident):
         return (t // n_tx, t % n_tx)
 
+    def rec_index(t, c, y0, resident):
+        s = (t // n_tx // gy) * n_tx + t % n_tx
+        return (resident[s, c], 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec(
-                (1, 16, chunk),
-                lambda t, c, y0, resident: (resident[t, c], 0, 0),
-            ),
+            pl.BlockSpec((1, 16, chunk), rec_index),
             pl.BlockSpec((tile_h, tile_w), tile_index),
         ],
         out_specs=(

@@ -33,7 +33,11 @@ from zeldaengine_tpu.ops.rasterize import (
     rasterize_visibility,
     rasterize_depth,
 )
-from zeldaengine_tpu.ops.rasterize_pallas import (build_chunks, choose_chunk, rasterize_pallas)
+from zeldaengine_tpu.ops.rasterize_pallas import (
+    build_chunks,
+    choose_binning,
+    rasterize_pallas,
+)
 from zeldaengine_tpu.ops.culling import expand_meshlet_mask, meshlet_cull
 from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
 from zeldaengine_tpu.ops.texture import sample_base, sample_trilinear
@@ -77,15 +81,17 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
                 init_depth, ((0, ph - height), (0, pw - width)),
                 constant_values=1.0,
             )
-        n_tiles = (ph // config.tile_h) * (pw // config.tile_w)
-        chunk = choose_chunk(setup.edge.shape[0], n_tiles, config.tri_chunk)
+        chunk, gy = choose_binning(
+            setup.edge.shape[0], ph // config.tile_h, pw // config.tile_w,
+            config.tri_chunk,
+        )
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
         chunks = build_chunks(setup, pw, ph, config.tile_h, config.tile_w,
-                              chunk, y0_tiles=y0_tiles)
+                              chunk, y0_tiles=y0_tiles, gy=gy)
         depth, tid = rasterize_pallas(
             chunks, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
             tile_w=config.tile_w, chunk=chunk,
-            sub_rows=config.sub_rows, y0_tiles=y0_tiles,
+            sub_rows=config.sub_rows, y0_tiles=y0_tiles, gy=gy,
         )
         return depth[:height, :width], tid[:height, :width]
     return rasterize_visibility(
@@ -98,15 +104,18 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                   band: bool = False, rows=None):
     height = rows if rows is not None else dim
     if _use_pallas(config, band, height):
-        n_tiles = (height // config.tile_h) * (dim // config.tile_w)
-        chunk = choose_chunk(setup.edge.shape[0], n_tiles, config.tri_chunk)
+        chunk, gy = choose_binning(
+            setup.edge.shape[0], height // config.tile_h,
+            dim // config.tile_w, config.tri_chunk,
+        )
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
         chunks = build_chunks(setup, dim, height, config.tile_h,
-                              config.tile_w, chunk, y0_tiles=y0_tiles)
+                              config.tile_w, chunk, y0_tiles=y0_tiles,
+                              gy=gy)
         return rasterize_pallas(
             chunks, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
             chunk=chunk, sub_rows=config.sub_rows,
-            depth_only=True, y0_tiles=y0_tiles,
+            depth_only=True, y0_tiles=y0_tiles, gy=gy,
         )
     return rasterize_depth(setup, height, dim, chunk=config.tri_chunk, y0=y0)
 
@@ -256,7 +265,8 @@ def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
 
 
 def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
-                     config: EngineConfig, enable_vis: bool = True):
+                     config: EngineConfig, enable_vis: bool = True,
+                     tiled_points=None):
     """BaseLighting.frag main(): unpack GBuffer, light, debug switch."""
     base_color = gbuf.gbuffer_c[..., :3]
     metallic = pbr.saturate(gbuf.gbuffer_b[..., 0])
@@ -272,6 +282,7 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
     lit = shade_pixels(
         base_color, metallic, roughness, normal, ao, world_pos,
         shadow_factor, view, scene.cube_atlas, config.cubemap_size,
+        tiled_points=tiled_points,
     )
     final = gamma_correct(lit["final"] * mask[..., None])
 
@@ -308,14 +319,14 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
 
 
 def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
-                  config: EngineConfig):
+                  config: EngineConfig, tiled_points=None):
     """Base.frag main(): forward PBR with the case-0 ShadowFactor multiply."""
     shadow_factor = _shadow_factor(shadowmap, attrs.world_pos, view, config,
                                    valid=attrs.covered)
     lit = shade_pixels(
         attrs.base_color, attrs.metallic, attrs.roughness, attrs.normal,
         attrs.ao, attrs.world_pos, shadow_factor, view,
-        scene.cube_atlas, config.cubemap_size,
+        scene.cube_atlas, config.cubemap_size, tiled_points=tiled_points,
     )
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(
@@ -471,6 +482,25 @@ def render_rows(
     # sizes the rasterized row band.
     vp_h = config.height
 
+    # ---- tiled point-light culling (the usable form of the reference's
+    # 512-light capacity; UNROLL-sized tables shade without culling)
+    tiled_points = None
+    if (
+        view.point_lights.shape[0] > 64
+        and full_frame
+        and height % config.light_tile_h == 0
+        and width % config.light_tile_w == 0
+    ):
+        from zeldaengine_tpu.ops.lighting import cull_point_lights_tiled
+
+        tile_idx, tile_cnt = cull_point_lights_tiled(
+            view.point_lights, view.lights_count[1], view, width, height,
+            config.light_tile_h, config.light_tile_w,
+            config.max_tile_lights,
+        )
+        tiled_points = (tile_idx, tile_cnt, config.light_tile_h,
+                        config.light_tile_w)
+
     # ---- vertex stage (Base.vert / BaseInstanced.vert / Shadowmap*.vert)
     world = apply_mat4_point(view.model, scene.pair_pos)
     n1 = apply_mat4_point(view.model, pbr.normalize(scene.pair_nrm))
@@ -544,7 +574,8 @@ def render_rows(
         gbuf = pack_gbuffer(attrs_d, depth_d)
         # ---- 4a. deferred lighting (fullscreen, no depth test)
         color = resolve_lighting(gbuf, shadowmap, scene, view, config,
-                                 enable_vis=full_frame)
+                                 enable_vis=full_frame,
+                                 tiled_points=tiled_points)
         tid_d_out = tid_d
     else:
         depth_d = jnp.ones((height, width), jnp.float32)
@@ -566,7 +597,8 @@ def render_rows(
         attrs_f = surface_attributes(
             scene, setup_f, tid_f, world, n_world, config, y0=y0
         )
-        fwd_color = forward_shade(attrs_f, shadowmap, scene, view, config)
+        fwd_color = forward_shade(attrs_f, shadowmap, scene, view, config,
+                                  tiled_points=tiled_points)
         color = jnp.where(fwd_mask[..., None], fwd_color, color)
     else:
         depth = depth_d

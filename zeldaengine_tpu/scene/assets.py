@@ -57,11 +57,35 @@ def asset_path_search(name: str, roots: List[str]) -> Optional[str]:
     return None
 
 
+_TEXTURE_CACHE: dict = {}
+_MESH_CACHE: dict = {}
+
+
 def load_texture_image(path: str, size: int, srgb: bool) -> np.ndarray:
+    """PNG -> linear float32, memoized on (path, mtime, size, srgb): the
+    livelink reload path rebuilds the whole scene (CreateEngineScene,
+    ZeldaEngine.cpp:1943-1951) and must not re-decode unchanged assets."""
+    key = (path, os.path.getmtime(path), size, srgb)
+    hit = _TEXTURE_CACHE.get(key)
+    if hit is not None:
+        return hit
     img = read_png(path, size=size)
     if srgb:
         img = np.concatenate([srgb_to_linear(img[..., :3]), img[..., 3:]], -1)
-    return np.asarray(img, np.float32)
+    img = np.asarray(img, np.float32)
+    img.setflags(write=False)
+    _TEXTURE_CACHE[key] = img
+    return img
+
+
+def load_mesh_cached(path: str) -> Mesh:
+    """Mesh load memoized on (path, mtime); returns the shared instance
+    (treat as read-only)."""
+    key = (path, os.path.getmtime(path))
+    hit = _MESH_CACHE.get(key)
+    if hit is None:
+        hit = _MESH_CACHE[key] = load_mesh(path)
+    return hit
 
 
 def _procedural_profab(name: str) -> Mesh:
@@ -120,7 +144,7 @@ def load_profab(
             if not f.lower().endswith((".obj", ".fbx")):
                 continue
             model_name = os.path.splitext(f)[0]
-            mesh = load_mesh(os.path.join(mdir, f))
+            mesh = load_mesh_cached(os.path.join(mdir, f))
             slots = {}
             for slot, suffix in enumerate(SLOT_SUFFIXES):
                 tp = os.path.join(tdir, model_name + suffix + ".png")
@@ -159,7 +183,7 @@ def build_scene_from_world(
     # CreateSkydomePass loads exactly this asset, ZeldaEngine.cpp:2690).
     dome_path = asset_path_search("skydome.obj", roots)
     if dome_path and world.enable_skydome:
-        builder.set_skydome_mesh(load_mesh(dome_path))
+        builder.set_skydome_mesh(load_mesh_cached(dome_path))
 
     # Sky / cubemap / background textures
     sky_path = asset_path_search(world.skydome_file_name, roots)

@@ -27,6 +27,20 @@ from zeldaengine_tpu.scene.mesh import Mesh, make_sphere
 from zeldaengine_tpu.ops.texture import build_mip_atlas
 
 
+def _morton3(q: np.ndarray) -> np.ndarray:
+    """Interleave 3 x 10-bit coords (N, 3) into Morton keys (N,)."""
+
+    def spread(x):
+        x = x.astype(np.int64)
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
 def _hue2rgb_np(hue: np.ndarray) -> np.ndarray:
     h = hue - np.floor(hue)
     r = np.abs(h * 6.0 - 3.0) - 1.0
@@ -446,6 +460,23 @@ class SceneBuilder:
 
         n_pairs = pair_pos.shape[0]
         n_tris = tri_vtx.shape[0]
+
+        # Spatial (Morton) triangle ordering: the Pallas rasterizer bins
+        # lane-chunks of consecutive triangles, so scattered instancing
+        # (ring-scattered grass) must be reordered by world position or
+        # nearly every (tile, chunk) pair activates — measured 1.4 s vs
+        # ~0.1 s raster at the 20k-instance reference scale.
+        if n_tris > 1:
+            cent = pair_pos[tri_vtx].mean(axis=1)
+            lo = cent.min(axis=0)
+            span = np.maximum(cent.max(axis=0) - lo, 1e-9)
+            q = ((cent - lo) / span * 1023.0).astype(np.int64)
+            order = np.argsort(_morton3(q), kind="stable")
+            tri_vtx = tri_vtx[order]
+            tri_mat = tri_mat[order]
+            tri_two = tri_two[order]
+            tri_def = tri_def[order]
+            tri_msh = tri_msh[order]
 
         # Pad to lane-friendly sizes (and at least one chunk).
         def pad_to(n, m):
