@@ -51,6 +51,9 @@ def main() -> None:
     # rocks + terrain (ZeldaUntitled.py:103-128).
     parser.add_argument("--grass", type=int, default=10000)
     parser.add_argument("--rocks", type=int, default=65)
+    parser.add_argument("--lights", type=int, default=16,
+                        help="point lights for config 3 (>64 exercises "
+                             "tiled light culling at 512 capacity)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--profile", action="store_true",
                         help="per-pass ms breakdown (profiling.py)")
@@ -228,6 +231,24 @@ def main() -> None:
         detail.update(scene_build_s=round(build_s, 2),
                       scene_rebuild_s=round(time.time() - t0, 2),
                       instances=meta.num_instances)
+        if args.lights > 16:
+            # Extra warm point lights in the demo ring (tests the tiled
+            # light culling at the reference's 512 capacity).
+            rng = np.random.RandomState(3)
+            from zeldaengine_tpu.scene.world import LightDesc as LD
+
+            while len(world.point_lights) < args.lights:
+                a = rng.uniform(0, 2 * np.pi)
+                d = rng.uniform(0.5, 8.0)
+                world.point_lights.append(LD(
+                    position=np.array([np.sin(a) * d, np.cos(a) * d, 1.0],
+                                      np.float32),
+                    type=1,
+                    color=np.array([rng.uniform(0.4, 0.8),
+                                    rng.uniform(0.2, 0.5), 0.1], np.float32),
+                    intensity=8.0, radius=1.5,
+                ))
+            detail.update(point_lights=args.lights)
         metric, unit, target = "1080p deferred-PBR frames/sec", "fps", 60.0
 
     n_tris = meta.num_triangles
@@ -238,9 +259,10 @@ def main() -> None:
         return color
 
     def make_view(i):
+        cap_p = 16 if len(world.point_lights) <= 16 else 512
         return build_view_state(
             world, config, time=i / 60.0, roll_light=i * 0.02,
-            light_capacities=(8, 16, 8),
+            light_capacities=(8, cap_p, 8),
         )
 
     frame_s, compile_s = _bench_loop(step, scene, make_view, args.frames)

@@ -41,7 +41,7 @@ NO_HIT = 3.0e38  # plain float: jnp constants may not be captured by kernels
 # int32 table; TPU SMEM is ~1 MB total). A chunk is "active" for a tile
 # iff resident[t, c] == c, so no second table is needed.
 SMEM_TABLE_BUDGET = 512 * 1024
-K_INNER = 512  # triangles per in-kernel compute slice (bounds VMEM temps)
+
 
 
 def choose_chunk(n_tris: int, n_tiles: int, base: int = 128) -> int:
@@ -57,11 +57,12 @@ def choose_chunk(n_tris: int, n_tiles: int, base: int = 128) -> int:
 
 def choose_binning(n_tris: int, n_ty: int, n_tx: int,
                    base: int = 128) -> tuple:
-    """Pick (chunk, gy) so the resident table fits in SMEM while keeping
-    chunks small: before growing the chunk (which multiplies wasted
-    raster work — every active (tile, chunk) pair runs the whole chunk),
-    coarsen the table's ROW granularity to supertiles of gy tile rows
-    (binning slack grows only by the supertile height)."""
+    """Pick (chunk, gy) so the resident table fits in SMEM.
+
+    Grow the chunk first: each (tile, chunk) grid step costs fixed Mosaic
+    overhead, so fewer/bigger chunks win — the kernel's per-slice bbox
+    early-outs (lax.cond over 128-triangle slices) keep big chunks from
+    multiplying wasted VPU work. Supertile rows (gy) only after 1024."""
     chunk = base
     gy = 1
     while True:
@@ -69,7 +70,9 @@ def choose_binning(n_tris: int, n_ty: int, n_tx: int,
         n_chunks = -(-max(n_tris, 1) // chunk)
         if n_sy * n_tx * n_chunks * 4 <= SMEM_TABLE_BUDGET:
             return chunk, gy
-        if gy < 4:
+        if chunk < 1024:
+            chunk += 128
+        elif gy < 4:
             gy *= 2
         else:
             chunk += 128
@@ -217,10 +220,9 @@ def _vis_kernel(
         c_base = c * chunk
         n_sub = tile_h // sub_rows
         p_sub = sub_rows * tile_w
-        # Bound the (p_sub, k_inner) temporaries to ~2 MB each.
-        k_inner = min(chunk, max(128, (K_INNER * 1024) // p_sub * 128))
-        while chunk % k_inner:
-            k_inner -= 128
+        # Small slices = fine-grained early-out granularity (and bounded
+        # VMEM temporaries).
+        k_inner = min(chunk, 128)
         n_kb = chunk // k_inner
 
         for sb in range(n_sub):
@@ -240,36 +242,53 @@ def _vis_kernel(
                 ).astype(jnp.float32) + 0.5
 
                 def kb_body(kb, carry):
-                    best, best_id = carry
                     sl = tri_ref[0, :, pl.ds(kb * k_inner, k_inner)]
-
-                    def form(r, sl=sl):
-                        return (
-                            px * sl[r : r + 1, :]
-                            + py * sl[r + 1 : r + 2, :]
-                            + sl[r + 2 : r + 3, :]
-                        )  # (p_sub, k_inner)
-
-                    e0 = form(0)
-                    e1 = form(3)
-                    e2 = form(6)
-                    d = form(9)
-                    esum = e0 + e1 + e2
-                    inside = (
-                        (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                        & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+                    # Slice-level early-out: large chunks amortize the
+                    # Mosaic grid-step overhead (the 2-D grid has
+                    # n_tiles x n_chunks steps), and this keeps the
+                    # wasted VPU work of big chunks bounded to the
+                    # slices whose bboxes touch the subtile band.
+                    hit = jnp.any(
+                        (sl[12:13, :] < fx_lo + tile_w)
+                        & (sl[14:15, :] > fx_lo)
+                        & (sl[13:14, :] < band_lo + sub_rows)
+                        & (sl[15:16, :] > band_lo)
                     )
-                    cand = jnp.where(inside, d, NO_HIT)
-                    kb_best = jnp.min(cand, axis=1)  # (p_sub,)
-                    if not depth_only:
-                        kb_arg = jnp.argmin(cand, axis=1).astype(jnp.int32)
-                        kb_id = (c_base + kb * k_inner) + kb_arg
-                        take_kb = kb_best < best
-                        best_id = jnp.where(take_kb, kb_id, best_id)
-                        best = jnp.where(take_kb, kb_best, best)
-                    else:
-                        best = jnp.minimum(best, kb_best)
-                    return best, best_id
+
+                    def active(carry):
+                        best, best_id = carry
+
+                        def form(r, sl=sl):
+                            return (
+                                px * sl[r : r + 1, :]
+                                + py * sl[r + 1 : r + 2, :]
+                                + sl[r + 2 : r + 3, :]
+                            )  # (p_sub, k_inner)
+
+                        e0 = form(0)
+                        e1 = form(3)
+                        e2 = form(6)
+                        d = form(9)
+                        esum = e0 + e1 + e2
+                        inside = (
+                            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                            & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+                        )
+                        cand = jnp.where(inside, d, NO_HIT)
+                        kb_best = jnp.min(cand, axis=1)  # (p_sub,)
+                        if not depth_only:
+                            kb_arg = jnp.argmin(cand, axis=1).astype(
+                                jnp.int32
+                            )
+                            kb_id = (c_base + kb * k_inner) + kb_arg
+                            take_kb = kb_best < best
+                            best_id = jnp.where(take_kb, kb_id, best_id)
+                            best = jnp.where(take_kb, kb_best, best)
+                        else:
+                            best = jnp.minimum(best, kb_best)
+                        return best, best_id
+
+                    return jax.lax.cond(hit, active, lambda c: c, carry)
 
                 best, best_id = jax.lax.fori_loop(
                     0, n_kb, kb_body,
@@ -299,7 +318,7 @@ def _vis_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "chunk", "sub_rows",
-        "depth_only", "gy",
+        "depth_only", "gy", "interpret",
     ),
 )
 def rasterize_pallas(
@@ -314,8 +333,10 @@ def rasterize_pallas(
     depth_only: bool = False,
     y0_tiles=0,
     gy: int = 1,
+    interpret: bool = False,
 ):
     """Rasterize chunked triangles to (depth, tri_id) visibility buffers.
+    ``interpret`` runs the kernel in Pallas interpret mode (CPU testing).
 
     height/width must be multiples of tile_h/tile_w (pad the target).
     Returns (depth (H, W) f32 with clear=1.0, tid (H, W) i32 with -1) or
@@ -371,7 +392,8 @@ def rasterize_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(y0_arr, chunks.resident, chunks.records, init_depth)

@@ -88,9 +88,21 @@ def load_mesh_cached(path: str) -> Mesh:
     return hit
 
 
+_PROCEDURAL_CACHE: dict = {}
+
+
 def _procedural_profab(name: str) -> Mesh:
     """Stand-in meshes when no Profabs assets exist on disk (the reference
-    ships an empty Profabs/ dir; scenes come from the livelink)."""
+    ships an empty Profabs/ dir; scenes come from the livelink). Memoized:
+    livelink reloads rebuild the scene every frame in streaming use."""
+    hit = _PROCEDURAL_CACHE.get(name)
+    if hit is not None:
+        return hit
+    _PROCEDURAL_CACHE[name] = mesh = _procedural_profab_build(name)
+    return mesh
+
+
+def _procedural_profab_build(name: str) -> Mesh:
     if "terrain" in name or "stage" in name:
         return make_plane(10.0, uv_scale=8.0)
     if "rock" in name:

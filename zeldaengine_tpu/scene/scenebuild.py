@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from zeldaengine_tpu.config import EngineConfig
 from zeldaengine_tpu.scene.mesh import Mesh, make_sphere
-from zeldaengine_tpu.ops.texture import build_mip_atlas
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -98,37 +97,29 @@ class GpuScene(NamedTuple):
     # vertex pairs (post-instancing vertex pool)
     pair_pos: jnp.ndarray  # (P, 3) instance-staged local positions
     pair_nrm: jnp.ndarray  # (P, 3) local normals (normalized)
-    pair_col: jnp.ndarray  # (P, 3) debug vertex colors
-    pair_uv: jnp.ndarray  # (P, 2)
     pair_rot: jnp.ndarray  # (P,) int32 index into rot_table
     rot_table: jnp.ndarray  # (R, 3, 3) instance normal rotations (R^T), [0]=I
 
     # triangles
     tri_vtx: jnp.ndarray  # (T, 3) int32 pair indices
-    tri_mat: jnp.ndarray  # (T,) int32 material ids
     tri_two_sided: jnp.ndarray  # (T,) bool
     tri_deferred: jnp.ndarray  # (T,) bool: deferred (True) vs forward
     tri_valid: jnp.ndarray  # (T,) bool
 
     # packed hot-path attribute pools (one gather each in the deferred
-    # attribute pass)
+    # attribute pass); per-slot uv/color and per-tri material live ONLY
+    # here — the unpacked copies are host-side intermediates.
     pair_static: jnp.ndarray  # (P, 8) f32: uv(2), color(3), pad(3)
     tri_meta: jnp.ndarray  # (T, 4) i32: v0, v1, v2, material
 
     # materials + textures
-    mat_tex: jnp.ndarray  # (M, 7) int32 texture layers per PBR slot
-    # (M, 4) int32: basecolor, normal, emissive, packed(M/R/AO/Mask) —
-    # scalar slots composited into one RGBA texture at build time so the
-    # GBuffer pass does 4 texture samples instead of 7.
-    mat_packed: jnp.ndarray
     # The gather-optimal layout: per unique material texture-combo, ONE
     # 16-channel supertexture mip atlas [bc.rgb, nrm.rgb, em.rgb,
     # metallic, roughness, ao, mask, pad*3] — a TPU gather costs per
     # index, not per byte, so one 16-wide row fetch returns every
     # texture's texel at once.
     mat_combined: jnp.ndarray  # (M,) int32 -> combined_atlas layer
-    combined_atlas: jnp.ndarray  # (Mc, S, 2S, 64) float32 (2x2-packed)
-    tex_atlas: jnp.ndarray  # (N, S, 2S, 4) mip atlases
+    combined_atlas: jnp.ndarray  # (Mc, S, 2S, 64) bf16 (2x2-packed)
     cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 16) packed sky cubemap faces
     sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 16) packed skydome equirect texture
     bg_tex: jnp.ndarray  # (1, Sb, 2Sb, 16) packed background texture
@@ -556,22 +547,16 @@ class SceneBuilder:
         scene = GpuScene(
             pair_pos=jnp.asarray(padn(pair_pos, p_cap)),
             pair_nrm=jnp.asarray(padn(pair_nrm, p_cap)),
-            pair_col=jnp.asarray(padn(pair_col, p_cap)),
-            pair_uv=jnp.asarray(padn(pair_uv, p_cap)),
             pair_rot=jnp.asarray(padn(pair_rot, p_cap)),
             rot_table=jnp.asarray(np.concatenate(self._rots, axis=0)),
             tri_vtx=jnp.asarray(padn(tri_vtx, t_cap)),
-            tri_mat=jnp.asarray(padn(tri_mat, t_cap)),
             tri_two_sided=jnp.asarray(padn(tri_two, t_cap)),
             tri_deferred=jnp.asarray(padn(tri_def, t_cap)),
             tri_valid=jnp.asarray(tri_valid),
             pair_static=jnp.asarray(pair_static),
             tri_meta=jnp.asarray(tri_meta),
-            mat_tex=jnp.asarray(mats),
-            mat_packed=jnp.asarray(mat_packed),
             mat_combined=jnp.asarray(mat_combined),
             combined_atlas=jnp.asarray(combined_atlas, jnp.bfloat16),
-            tex_atlas=jnp.asarray(build_mip_atlas(np.stack(self.textures))),
             # Neighborhood-packed (16-ch rows): trilinear = 2 flat gathers.
             # bf16 storage halves gather-table bytes; 8-bit texture sources
             # carry less precision than bf16 keeps, and samplers cast the
