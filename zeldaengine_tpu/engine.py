@@ -114,7 +114,29 @@ class Engine:
         if self.server is not None:
             self.server.stop()
 
-    def _rebuild_scene(self) -> None:
+    def _scene_content_key(self) -> str:
+        """World content that affects the built scene: everything except
+        the camera (which only feeds the per-frame ViewState) and light
+        VALUES (also per-frame)."""
+        import json
+
+        doc = self.world.to_json()
+        doc.pop("MainCamera", None)
+        doc.pop("DirectionalLights", None)
+        doc.pop("PointLights", None)
+        doc.pop("SpotLights", None)
+        return json.dumps(doc, sort_keys=True)
+
+    def _rebuild_scene(self, force: bool = False) -> None:
+        # Streamed reloads that only move the camera/lights keep the same
+        # geometry/texture pools: skip the rebuild (deterministic builds
+        # make this exact; the reference always pays the full
+        # CreateEngineScene here, ZeldaEngine.cpp:1943-1951).
+        key = self._scene_content_key()
+        if not force and self.scene is not None \
+                and key == getattr(self, "_scene_key", None):
+            return
+        self._scene_key = key
         t0 = time.time()
         self.scene, self.meta = build_scene_from_world(
             self.world, self.config, roots=self.asset_roots
