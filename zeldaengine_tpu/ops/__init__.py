@@ -5,7 +5,6 @@ from zeldaengine_tpu.ops.rasterize import (
 )
 from zeldaengine_tpu.ops.rasterize_pallas import (
     build_chunks,
-    choose_binning,
     rasterize_pallas,
 )
 from zeldaengine_tpu.ops.culling import meshlet_cull, expand_meshlet_mask
@@ -21,7 +20,6 @@ __all__ = [
     "rasterize_visibility",
     "rasterize_depth",
     "build_chunks",
-    "choose_binning",
     "rasterize_pallas",
     "meshlet_cull",
     "expand_meshlet_mask",

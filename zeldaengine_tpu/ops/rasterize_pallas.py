@@ -2,22 +2,30 @@
 
 Replaces the jnp chunked rasterizer (ops/rasterize.py) for the hot passes.
 Same math (homogeneous edge functions from ``triangle_setup``), different
-schedule:
+schedule — a **tile-walker**:
 
 - The screen is cut into (tile_h, tile_w) tiles; triangles are grouped into
   lane-sized chunks (pre-sorted spatially at scene build so chunks are
   compact).
-- **Binning** happens in XLA before the kernel: a per-(tile, chunk) active
-  bit from bbox overlap (computed as a per-chunk OY^T @ OX matmul — no
-  giant boolean tensors), plus a "resident chunk" index table so inactive
-  grid steps re-reference the already-loaded chunk block (no DMA).
-- The kernel grid is (n_tiles, n_chunks); the per-tile z/tri-id buffers
-  live in the *output* blocks, which Mosaic keeps resident in VMEM across
-  the chunk dimension (same output index) — the z-buffer never round-trips
-  to HBM during a tile's lifetime.
-- Inside an active step, pixels ride the sublane axis and triangles the
-  lane axis: ``e = px_col * c_row + ...`` — pure broadcast FMAs, no
-  transposes, min/argmin are lane reductions.
+- **Binning** happens in XLA before the kernel: per-(tile, chunk) bbox
+  overlap (a per-chunk OY^T @ OX matmul — no giant boolean tensors) is
+  compacted into a per-tile list of active chunk ids plus a count. The
+  list lives in HBM; each tile DMAs its own row into SMEM (so the list is
+  never SMEM-budget-bound and chunks stay at the tight 128-lane size).
+- The kernel grid is just ``(n_tiles,)``: each tile walks ONLY its own
+  active chunks with a dynamic ``fori_loop``, double-buffering the chunk
+  records HBM→VMEM with ``make_async_copy`` so DMA overlaps the edge
+  math. Inactive (tile, chunk) pairs cost *nothing*, and the per-visit
+  body is straight-line vector code: no lax.cond, no inner slice loop —
+  scalar branches stall the VPU pipeline for longer than the work they
+  skip at this chunk size (measured: 13 conds/visit made each visit
+  ~24 us; straight-line is ~4 us).
+- Inside a chunk, pixels ride the sublane axis and triangles the lane
+  axis: ``e = px_col * c_row + ...`` — pure broadcast FMAs, no
+  transposes. The depth winner per pixel uses a single min-reduction
+  over a packed key (depth mantissa's low 7 bits replaced by the lane
+  index), not separate min+argmin trees; the depth this quantizes away
+  is < 128 ULP (~1e-5 relative), below the rasterizer's tolerance.
 
 Depth is a single linear form per triangle (z/w is screen-linear):
 ``zrow = sum_i zc_i * edge_i`` folded at setup time.
@@ -37,50 +45,11 @@ from zeldaengine_tpu.ops.rasterize import TriangleSetup
 
 NO_HIT = 3.0e38  # plain float: jnp constants may not be captured by kernels
 
-# SMEM budget for the (n_tiles, n_chunks) resident prefetch table (one
-# int32 table; TPU SMEM is ~1 MB total). A chunk is "active" for a tile
-# iff resident[t, c] == c, so no second table is needed.
-SMEM_TABLE_BUDGET = 512 * 1024
-
-
-
-def choose_chunk(n_tris: int, n_tiles: int, base: int = 128) -> int:
-    """Grow the chunk size so the binning table fits in SMEM.
-
-    Smaller chunks bin tighter (measured 3x raster speedup at 128 vs 256
-    on the 1080p demo scene) — only grow when the table would not fit."""
-    max_chunks = max(1, SMEM_TABLE_BUDGET // (4 * n_tiles))
-    need = -(-max(n_tris, 1) // max_chunks)
-    chunk = max(base, ((need + 127) // 128) * 128)
-    return chunk
-
-
-def choose_binning(n_tris: int, n_ty: int, n_tx: int,
-                   base: int = 128) -> tuple:
-    """Pick (chunk, gy) so the resident table fits in SMEM.
-
-    Grow the chunk first: each (tile, chunk) grid step costs fixed Mosaic
-    overhead, so fewer/bigger chunks win — the kernel's per-slice bbox
-    early-outs (lax.cond over 128-triangle slices) keep big chunks from
-    multiplying wasted VPU work. Supertile rows (gy) only after 1024."""
-    chunk = base
-    gy = 1
-    while True:
-        n_sy = -(-n_ty // gy)
-        n_chunks = -(-max(n_tris, 1) // chunk)
-        if n_sy * n_tx * n_chunks * 4 <= SMEM_TABLE_BUDGET:
-            return chunk, gy
-        if chunk < 1024:
-            chunk += 128
-        elif gy < 4:
-            gy *= 2
-        else:
-            chunk += 128
-
 
 class ChunkedTriangles(NamedTuple):
     records: jnp.ndarray  # (n_chunks, 16, K) float32 coefficient rows
-    resident: jnp.ndarray  # (n_tiles, n_chunks) int32 chunk to keep loaded
+    chunk_ids: jnp.ndarray  # (n_tiles, n_chunks) int32 active ids, compacted
+    counts: jnp.ndarray  # (n_tiles,) int32 number of active chunks
     n_tris: int
 
 
@@ -92,14 +61,11 @@ def build_chunks(
     tile_w: int,
     chunk: int,
     y0_tiles=0,
-    gy: int = 1,
 ) -> ChunkedTriangles:
-    """Pack a TriangleSetup into chunked records + binning tables.
+    """Pack a TriangleSetup into chunked records + compacted binning lists.
 
     ``y0_tiles`` (traced ok) offsets the tile rows for row-band rendering:
     the band covers global tile rows [y0_tiles, y0_tiles + height/tile_h).
-    ``gy`` groups tile rows into supertiles for the SMEM table (see
-    choose_binning).
     """
     edge = setup.edge
     t = edge.shape[0]
@@ -114,9 +80,8 @@ def build_chunks(
     # Invalid triangles: replace with a never-hit record (e2 const = -1).
     never = jnp.zeros((16,), jnp.float32).at[2].set(-1.0).at[5].set(-1.0) \
         .at[8].set(-1.0)
-    # Rows 12-15 carry the pixel-space bbox (x0, y0, x1, y1): the kernel
-    # uses it for tile- and subtile-level early-outs (invalid/padded
-    # triangles get a zero-area bbox, so they also fail the overlap test).
+    # Rows 12-15 carry the pixel-space bbox (x0, y0, x1, y1) — consumed by
+    # the binning below and by downstream passes that reuse the records.
     rec = jnp.concatenate(
         [
             edge.reshape(t, 9),
@@ -139,44 +104,60 @@ def build_chunks(
     ty0 = jnp.floor(bbox[:, 1] / tile_h)
     tx1 = jnp.ceil(bbox[:, 2] / tile_w) - 1.0
     ty1 = jnp.ceil(bbox[:, 3] / tile_h) - 1.0
-    n_sy = -(-n_ty // gy)
     xs = jnp.arange(n_tx, dtype=jnp.float32)
-    # Supertile row s spans global tile rows [y0 + s*gy, y0 + s*gy + gy).
-    ys = jnp.arange(n_sy, dtype=jnp.float32) * gy + jnp.asarray(
+    ys = jnp.arange(n_ty, dtype=jnp.float32) + jnp.asarray(
         y0_tiles, jnp.float32
     )
     ox = ((xs[None, :] >= tx0[:, None]) & (xs[None, :] <= tx1[:, None]))
-    oy = ((ys[None, :] + (gy - 1) >= ty0[:, None])
-          & (ys[None, :] <= ty1[:, None]))
+    oy = ((ys[None, :] >= ty0[:, None]) & (ys[None, :] <= ty1[:, None]))
     ox = ox.astype(jnp.float32).reshape(n_chunks, chunk, n_tx)
-    oy = oy.astype(jnp.float32).reshape(n_chunks, chunk, n_sy)
-    # count[c, sy, tx] = sum_k oy * ox  -> active iff > 0
-    counts = jnp.einsum("cky,ckx->cyx", oy, ox,
-                        precision=jax.lax.Precision.DEFAULT)
-    active = (counts > 0.5).transpose(1, 2, 0).reshape(n_sy * n_tx, n_chunks)
+    oy = oy.astype(jnp.float32).reshape(n_chunks, chunk, n_ty)
+    # count[c, ty, tx] = sum_k oy * ox  -> active iff > 0
+    counts3 = jnp.einsum("cky,ckx->cyx", oy, ox,
+                         precision=jax.lax.Precision.DEFAULT)
+    active = (counts3 > 0.5).transpose(1, 2, 0).reshape(n_ty * n_tx, n_chunks)
 
-    # resident[t, c] == c exactly when chunk c is active for tile t (the
-    # cummax holds the last active chunk index), so one table serves as
-    # both the block index map and the activity test.
-    idx = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
-    marked = jnp.where(active, idx, -1)
-    resident = jax.lax.cummax(marked, axis=1)
-    resident = jnp.maximum(resident, 0)
+    # Compact each tile's active chunk ids to the front (ascending order,
+    # O(n) cumsum + scatter — no sort). Unwritten slots keep 0 and are
+    # never read (the kernel walks exactly ``counts`` entries).
+    pos = jnp.cumsum(active.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(active, pos, n_chunks)  # out-of-bounds -> dropped
+    rows = jnp.broadcast_to(
+        jnp.arange(active.shape[0], dtype=jnp.int32)[:, None], pos.shape
+    )
+    ids = jnp.broadcast_to(
+        jnp.arange(n_chunks, dtype=jnp.int32)[None, :], pos.shape
+    )
+    # 3-D (n_tiles, 1, n_chunks_pad): the kernel dynamically indexes tiles
+    # on the untiled leading dim (Mosaic cannot slice a tiled sublane dim)
+    # and DMAs whole lane-aligned rows (128-multiple).
+    chunk_ids = jnp.zeros(active.shape, jnp.int32).at[rows, pos].set(
+        ids, mode="drop"
+    )
+    lane_pad = (-n_chunks) % 128
+    chunk_ids = jnp.pad(chunk_ids, ((0, 0), (0, lane_pad)))[:, None, :]
+    counts = jnp.sum(active, axis=1).astype(jnp.int32)
 
     return ChunkedTriangles(
         records=records,
-        resident=resident.astype(jnp.int32),
+        chunk_ids=chunk_ids,
+        counts=counts,
         n_tris=t,
     )
 
 
 def _vis_kernel(
     y0_ref,
-    resident_ref,
-    tri_ref,
+    counts_ref,
+    ids_hbm,
+    records_hbm,
     init_ref,
     depth_ref,
     tid_ref,
+    ids_ref,
+    scratch_ref,
+    sem_ref,
+    row_sem_ref,
     *,
     chunk: int,
     tile_h: int,
@@ -184,141 +165,132 @@ def _vis_kernel(
     n_tx: int,
     sub_rows: int,
     depth_only: bool,
-    gy: int = 1,
 ):
     t = pl.program_id(0)
-    c = pl.program_id(1)
-    s = (t // n_tx // gy) * n_tx + t % n_tx  # supertile table row
 
-    @pl.when(c == 0)
-    def _init():
-        depth_ref[:, :] = init_ref[:, :]
-        if not depth_only:
-            tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    depth_ref[:, :] = init_ref[:, :]
+    if not depth_only:
+        tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    n = counts_ref[t]
+
+    # This tile's compacted chunk-id row: HBM -> SMEM.
+    row_dma = pltpu.make_async_copy(ids_hbm.at[t], ids_ref, row_sem_ref)
+    row_dma.start()
+    row_dma.wait()
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            records_hbm.at[ids_ref[0, j]],
+            scratch_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(n > 0)
+    def _warmup():
+        get_dma(0, 0).start()
 
     ty = t // n_tx
     tx = t % n_tx
     base_x = (tx * tile_w).astype(jnp.int32)
+    # Global pixel rows: the records' edge forms live in full-viewport
+    # pixel space, so a row band at y0 evaluates them at offset rows.
     base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
 
-    # Tile-level early-out: the supertile binning is row-coarse (gy tile
-    # rows) and bbox-conservative; triangles' pixel bboxes (record rows
-    # 12-15) reject whole tiles/subtiles cheaply.
-    bx0 = tri_ref[0, 12:13, :]
-    by0 = tri_ref[0, 13:14, :]
-    bx1 = tri_ref[0, 14:15, :]
-    by1 = tri_ref[0, 15:16, :]
-    fx_lo = base_x.astype(jnp.float32)
-    fy_lo = base_y.astype(jnp.float32)
-    hit_tile = (
-        (bx0 < fx_lo + tile_w) & (bx1 > fx_lo)
-        & (by0 < fy_lo + tile_h) & (by1 > fy_lo)
-    )  # (1, chunk)
+    n_sub = tile_h // sub_rows
+    p_sub = sub_rows * tile_w
+    # Packed f32 winner key: depth quantized to 2^16 levels in the high
+    # bits, lane index in the low bits — both exact integers < 2^24, so
+    # f32 arithmetic and the f32 min-reduce (the VPU's fast path; int32
+    # reduces are dramatically slower on TPU) are exact. Depth comes back
+    # quantized by 2^-16 (~1.5e-5), below the rasterizer's tolerance.
+    lane_f = jax.lax.broadcasted_iota(
+        jnp.int32, (1, chunk), 1
+    ).astype(jnp.float32)
+    lane_scale = float(1 << (chunk - 1).bit_length())
+    depth_scale = 65536.0
 
-    @pl.when((resident_ref[s, c] == c) & jnp.any(hit_tile))
-    def _raster():
-        c_base = c * chunk
-        n_sub = tile_h // sub_rows
-        p_sub = sub_rows * tile_w
-        # Small slices = fine-grained early-out granularity (and bounded
-        # VMEM temporaries).
-        k_inner = min(chunk, 128)
-        n_kb = chunk // k_inner
+    def chunk_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n)
+        def _prefetch():
+            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        get_dma(slot, j).wait()
+        c_base = ids_ref[0, j] * chunk
 
         for sb in range(n_sub):
-            band_lo = fy_lo + sb * sub_rows
-            hit_band = hit_tile & (by0 < band_lo + sub_rows) \
-                & (by1 > band_lo)
+            # Pixel coords: sublane axis = flat (sub_rows, tile_w).
+            lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
+            px = (base_x + jnp.mod(lin, tile_w)).astype(jnp.float32) + 0.5
+            py = (
+                base_y + sb * sub_rows + lin // tile_w
+            ).astype(jnp.float32) + 0.5
 
-            @pl.when(jnp.any(hit_band))
-            def _band(sb=sb):
-                # Pixel coords: sublane axis = flat (sub_rows, tile_w).
-                lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
-                px = (base_x + jnp.mod(lin, tile_w)).astype(
-                    jnp.float32
-                ) + 0.5
-                py = (
-                    base_y + sb * sub_rows + lin // tile_w
-                ).astype(jnp.float32) + 0.5
+            def form(r):
+                return (
+                    px * scratch_ref[slot, r : r + 1, :]
+                    + py * scratch_ref[slot, r + 1 : r + 2, :]
+                    + scratch_ref[slot, r + 2 : r + 3, :]
+                )  # (p_sub, chunk)
 
-                def kb_body(kb, carry):
-                    sl = tri_ref[0, :, pl.ds(kb * k_inner, k_inner)]
-                    # Slice-level early-out: large chunks amortize the
-                    # Mosaic grid-step overhead (the 2-D grid has
-                    # n_tiles x n_chunks steps), and this keeps the
-                    # wasted VPU work of big chunks bounded to the
-                    # slices whose bboxes touch the subtile band.
-                    hit = jnp.any(
-                        (sl[12:13, :] < fx_lo + tile_w)
-                        & (sl[14:15, :] > fx_lo)
-                        & (sl[13:14, :] < band_lo + sub_rows)
-                        & (sl[15:16, :] > band_lo)
-                    )
-
-                    def active(carry):
-                        best, best_id = carry
-
-                        def form(r, sl=sl):
-                            return (
-                                px * sl[r : r + 1, :]
-                                + py * sl[r + 1 : r + 2, :]
-                                + sl[r + 2 : r + 3, :]
-                            )  # (p_sub, k_inner)
-
-                        e0 = form(0)
-                        e1 = form(3)
-                        e2 = form(6)
-                        d = form(9)
-                        esum = e0 + e1 + e2
-                        inside = (
-                            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                            & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
-                        )
-                        cand = jnp.where(inside, d, NO_HIT)
-                        kb_best = jnp.min(cand, axis=1)  # (p_sub,)
-                        if not depth_only:
-                            kb_arg = jnp.argmin(cand, axis=1).astype(
-                                jnp.int32
-                            )
-                            kb_id = (c_base + kb * k_inner) + kb_arg
-                            take_kb = kb_best < best
-                            best_id = jnp.where(take_kb, kb_id, best_id)
-                            best = jnp.where(take_kb, kb_best, best)
-                        else:
-                            best = jnp.minimum(best, kb_best)
-                        return best, best_id
-
-                    return jax.lax.cond(hit, active, lambda c: c, carry)
-
-                best, best_id = jax.lax.fori_loop(
-                    0, n_kb, kb_body,
-                    (jnp.full((p_sub,), NO_HIT, jnp.float32),
-                     jnp.zeros((p_sub,), jnp.int32)),
-                )
-
+            e0 = form(0)
+            e1 = form(3)
+            e2 = form(6)
+            d = form(9)
+            esum = e0 + e1 + e2
+            inside = (
+                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+            )
+            if depth_only:
+                cand = jnp.where(inside, d, NO_HIT)
+                kb_best = jnp.min(cand, axis=1)  # (p_sub,)
                 cur = depth_ref[
                     pl.ds(sb * sub_rows, sub_rows), :
                 ].reshape(p_sub)
-                take = best < cur
-                new_depth = jnp.where(take, best, cur).reshape(
-                    sub_rows, tile_w
+                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+                    jnp.minimum(kb_best, cur).reshape(sub_rows, tile_w)
                 )
-                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = new_depth
-                if not depth_only:
-                    cur_t = tid_ref[
-                        pl.ds(sb * sub_rows, sub_rows), :
-                    ].reshape(p_sub)
-                    new_t = jnp.where(take, best_id, cur_t).reshape(
-                        sub_rows, tile_w
-                    )
-                    tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = new_t
+            else:
+                # ONE f32 min over lanes yields both the quantized depth
+                # and its lane.
+                dq = jnp.floor(d * depth_scale)
+                key = jnp.where(
+                    inside, dq * lane_scale + lane_f, NO_HIT
+                )
+                kmin = jnp.min(key, axis=1)  # (p_sub,)
+                kq = jnp.floor(kmin * (1.0 / lane_scale))
+                kb_best = jnp.where(
+                    kmin < NO_HIT, kq * (1.0 / depth_scale), NO_HIT
+                )
+                kb_id = c_base + (
+                    kmin - kq * lane_scale
+                ).astype(jnp.int32)
+                cur = depth_ref[
+                    pl.ds(sb * sub_rows, sub_rows), :
+                ].reshape(p_sub)
+                take = kb_best < cur
+                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = jnp.where(
+                    take, kb_best, cur
+                ).reshape(sub_rows, tile_w)
+                cur_t = tid_ref[
+                    pl.ds(sb * sub_rows, sub_rows), :
+                ].reshape(p_sub)
+                tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = jnp.where(
+                    take, kb_id, cur_t
+                ).reshape(sub_rows, tile_w)
+        return 0
+
+    jax.lax.fori_loop(0, n, chunk_body, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "chunk", "sub_rows",
-        "depth_only", "gy", "interpret",
+        "depth_only", "interpret",
     ),
 )
 def rasterize_pallas(
@@ -329,10 +301,9 @@ def rasterize_pallas(
     tile_h: int = 32,
     tile_w: int = 128,
     chunk: int = 128,
-    sub_rows: int = 8,
+    sub_rows: int = 16,
     depth_only: bool = False,
     y0_tiles=0,
-    gy: int = 1,
     interpret: bool = False,
 ):
     """Rasterize chunked triangles to (depth, tri_id) visibility buffers.
@@ -340,15 +311,18 @@ def rasterize_pallas(
 
     height/width must be multiples of tile_h/tile_w (pad the target).
     Returns (depth (H, W) f32 with clear=1.0, tid (H, W) i32 with -1) or
-    just depth when ``depth_only``.
+    just depth when ``depth_only``. Callers pass the SAME ``y0_tiles`` to
+    build_chunks (which offsets the binning) and here (which offsets the
+    kernel's pixel rows into full-viewport space).
     """
     n_tx = width // tile_w
     n_ty = height // tile_h
     n_tiles = n_ty * n_tx
-    n_sy = -(-n_ty // gy)
     n_chunks = chunks.records.shape[0]
-    assert chunks.resident.shape == (n_sy * n_tx, n_chunks), (
-        chunks.resident.shape, (n_sy * n_tx, n_chunks))
+    n_chunks_pad = n_chunks + (-n_chunks) % 128
+    assert chunks.chunk_ids.shape == (n_tiles, 1, n_chunks_pad), (
+        chunks.chunk_ids.shape, (n_tiles, 1, n_chunks_pad))
+    sub_rows = min(sub_rows, tile_h)
 
     if init_depth is None:
         init_depth = jnp.ones((height, width), jnp.float32)
@@ -361,27 +335,32 @@ def rasterize_pallas(
         n_tx=n_tx,
         sub_rows=sub_rows,
         depth_only=depth_only,
-        gy=gy,
     )
 
-    def tile_index(t, c, y0, resident):
+    def tile_index(t, y0, counts):
         return (t // n_tx, t % n_tx)
-
-    def rec_index(t, c, y0, resident):
-        s = (t // n_tx // gy) * n_tx + t % n_tx
-        return (resident[s, c], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles, n_chunks),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 16, chunk), rec_index),
+            # Explicit HBM: ANY lets Mosaic stage these in VMEM, where
+            # dynamic row slicing of a tiled memref is unsupported (and
+            # staging defeats the per-tile DMA scheme anyway).
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((tile_h, tile_w), tile_index),
         ],
         out_specs=(
             pl.BlockSpec((tile_h, tile_w), tile_index),
             pl.BlockSpec((tile_h, tile_w), tile_index),
         ),
+        scratch_shapes=[
+            pltpu.SMEM((1, n_chunks_pad), jnp.int32),
+            pltpu.VMEM((2, 16, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
     out_shape = (
         jax.ShapeDtypeStruct((height, width), jnp.float32),
@@ -396,7 +375,7 @@ def rasterize_pallas(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(y0_arr, chunks.resident, chunks.records, init_depth)
+    )(y0_arr, chunks.counts, chunks.chunk_ids, chunks.records, init_depth)
     if depth_only:
         return depth
     return depth, tid

@@ -35,7 +35,6 @@ from zeldaengine_tpu.ops.rasterize import (
 )
 from zeldaengine_tpu.ops.rasterize_pallas import (
     build_chunks,
-    choose_binning,
     rasterize_pallas,
 )
 from zeldaengine_tpu.ops.culling import expand_meshlet_mask, meshlet_cull
@@ -81,17 +80,14 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
                 init_depth, ((0, ph - height), (0, pw - width)),
                 constant_values=1.0,
             )
-        chunk, gy = choose_binning(
-            setup.edge.shape[0], ph // config.tile_h, pw // config.tile_w,
-            config.tri_chunk,
-        )
+        chunk = config.tri_chunk
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
         chunks = build_chunks(setup, pw, ph, config.tile_h, config.tile_w,
-                              chunk, y0_tiles=y0_tiles, gy=gy)
+                              chunk, y0_tiles=y0_tiles)
         depth, tid = rasterize_pallas(
             chunks, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
             tile_w=config.tile_w, chunk=chunk,
-            sub_rows=config.sub_rows, y0_tiles=y0_tiles, gy=gy,
+            sub_rows=config.sub_rows, y0_tiles=y0_tiles,
         )
         return depth[:height, :width], tid[:height, :width]
     return rasterize_visibility(
@@ -104,18 +100,14 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                   band: bool = False, rows=None):
     height = rows if rows is not None else dim
     if _use_pallas(config, band, height):
-        chunk, gy = choose_binning(
-            setup.edge.shape[0], height // config.tile_h,
-            dim // config.tile_w, config.tri_chunk,
-        )
+        chunk = config.tri_chunk
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
         chunks = build_chunks(setup, dim, height, config.tile_h,
-                              config.tile_w, chunk, y0_tiles=y0_tiles,
-                              gy=gy)
+                              config.tile_w, chunk, y0_tiles=y0_tiles)
         return rasterize_pallas(
             chunks, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
             chunk=chunk, sub_rows=config.sub_rows,
-            depth_only=True, y0_tiles=y0_tiles, gy=gy,
+            depth_only=True, y0_tiles=y0_tiles,
         )
     return rasterize_depth(setup, height, dim, chunk=config.tri_chunk, y0=y0)
 
