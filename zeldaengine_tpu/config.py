@@ -67,6 +67,9 @@ class EngineConfig:
     tile_h: int = 32
     tile_w: int = 128
     tri_chunk: int = 128
+    # Exact-pair binning: triangles whose bbox covers more than this many
+    # tiles fall into a global bucket walked by every tile.
+    pair_expand: int = 8
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8

@@ -4,8 +4,8 @@ from zeldaengine_tpu.ops.rasterize import (
     rasterize_depth,
 )
 from zeldaengine_tpu.ops.rasterize_pallas import (
-    build_chunks,
-    rasterize_pallas,
+    build_pairs,
+    rasterize_pairs,
 )
 from zeldaengine_tpu.ops.culling import meshlet_cull, expand_meshlet_mask
 from zeldaengine_tpu.ops.shadow import (
@@ -19,8 +19,8 @@ __all__ = [
     "triangle_setup",
     "rasterize_visibility",
     "rasterize_depth",
-    "build_chunks",
-    "rasterize_pallas",
+    "build_pairs",
+    "rasterize_pairs",
     "meshlet_cull",
     "expand_meshlet_mask",
     "compute_shadow_coord",

@@ -1,31 +1,30 @@
-"""Pallas TPU tiled rasterizer — the performance path.
+"""Pallas TPU exact-pair tiled rasterizer — the performance path.
 
 Replaces the jnp chunked rasterizer (ops/rasterize.py) for the hot passes.
-Same math (homogeneous edge functions from ``triangle_setup``), different
-schedule — a **tile-walker**:
+Same math (homogeneous edge functions from ``triangle_setup``), a
+TPU-shaped schedule:
 
-- The screen is cut into (tile_h, tile_w) tiles; triangles are grouped into
-  lane-sized chunks (pre-sorted spatially at scene build so chunks are
-  compact).
-- **Binning** happens in XLA before the kernel: per-(tile, chunk) bbox
-  overlap (a per-chunk OY^T @ OX matmul — no giant boolean tensors) is
-  compacted into a per-tile list of active chunk ids plus a count. The
-  list lives in HBM; each tile DMAs its own row into SMEM (so the list is
-  never SMEM-budget-bound and chunks stay at the tight 128-lane size).
-- The kernel grid is just ``(n_tiles,)``: each tile walks ONLY its own
-  active chunks with a dynamic ``fori_loop``, double-buffering the chunk
-  records HBM→VMEM with ``make_async_copy`` so DMA overlaps the edge
-  math. Inactive (tile, chunk) pairs cost *nothing*, and the per-visit
-  body is straight-line vector code: no lax.cond, no inner slice loop —
-  scalar branches stall the VPU pipeline for longer than the work they
-  skip at this chunk size (measured: 13 conds/visit made each visit
-  ~24 us; straight-line is ~4 us).
-- Inside a chunk, pixels ride the sublane axis and triangles the lane
+- **Exact-pair binning in XLA**: every triangle emits one (tile, triangle)
+  pair per screen tile its bbox covers (up to ``expand``; bigger bboxes
+  fall into one global bucket walked by all tiles). Pairs are sorted by
+  tile and the 16-float rasterization records are gathered into pair
+  order, so each tile owns a dense, exactly-sized range of record slices.
+  (Chunk-granularity binning — walk a 128-triangle chunk if ANY of its
+  triangles touches the tile — measured 9-16x slack at demo scale even
+  with Morton-ordered triangles.)
+- The kernel grid is just ``(n_tiles,)``: each tile walks its own slice
+  range with a dynamic ``fori_loop``, double-buffering records HBM→VMEM
+  with ``make_async_copy`` so DMA overlaps the edge math. The per-slice
+  body is straight-line vector code: no lax.cond early-outs — scalar
+  branches stall the VPU pipeline for longer than the work they skip
+  (measured ~24 us/visit with bbox conds vs ~4 us straight-line).
+- Inside a slice, pixels ride the sublane axis and triangles the lane
   axis: ``e = px_col * c_row + ...`` — pure broadcast FMAs, no
-  transposes. The depth winner per pixel uses a single min-reduction
-  over a packed key (depth mantissa's low 7 bits replaced by the lane
-  index), not separate min+argmin trees; the depth this quantizes away
-  is < 128 ULP (~1e-5 relative), below the rasterizer's tolerance.
+  transposes. The depth winner per pixel uses a single f32 min-reduction
+  over a packed key (depth quantized to 2^16 levels in the high bits,
+  lane index in the low bits — both exact integers < 2^24). int32
+  reductions hit a slow VPU path; the all-f32 packing stays on the fast
+  one and costs < 1.6e-5 depth quantization, below raster tolerance.
 
 Depth is a single linear form per triangle (z/w is screen-linear):
 ``zrow = sum_i zc_i * edge_i`` folded at setup time.
@@ -46,120 +45,134 @@ from zeldaengine_tpu.ops.rasterize import TriangleSetup
 NO_HIT = 3.0e38  # plain float: jnp constants may not be captured by kernels
 
 
-class ChunkedTriangles(NamedTuple):
-    records: jnp.ndarray  # (n_chunks, 16, K) float32 coefficient rows
-    chunk_ids: jnp.ndarray  # (n_tiles, n_chunks) int32 active ids, compacted
-    counts: jnp.ndarray  # (n_tiles,) int32 number of active chunks
-    n_tris: int
+class PairedTriangles(NamedTuple):
+    """Exact (tile, triangle) pair stream for the pair rasterizer.
+
+    ``records`` holds per-PAIR rasterization records gathered into sorted
+    pair order (16 rows x 128 lanes per slice); tile t's pairs occupy the
+    contiguous index range [starts[t], ends[t]); pairs of triangles whose
+    bbox covers more than ``expand`` tiles live in the global bucket
+    [gbounds[0], gbounds[1]) walked by every tile."""
+
+    records: jnp.ndarray  # (n_slices, 16, 128) float32
+    pair_tri: jnp.ndarray  # (n_slices * 128,) int32 original triangle id
+    starts: jnp.ndarray  # (n_tiles,) int32 first pair index of the tile
+    ends: jnp.ndarray  # (n_tiles,) int32 one-past-last pair index
+    gbounds: jnp.ndarray  # (2,) int32 global-bucket [start, end)
 
 
-def build_chunks(
+def build_pairs(
     setup: TriangleSetup,
     width: int,
     height: int,
     tile_h: int,
     tile_w: int,
-    chunk: int,
+    expand: int = 8,
     y0_tiles=0,
-) -> ChunkedTriangles:
-    """Pack a TriangleSetup into chunked records + compacted binning lists.
+) -> PairedTriangles:
+    """Compact triangles into exact per-tile pair lists (TPU binning).
 
-    ``y0_tiles`` (traced ok) offsets the tile rows for row-band rendering:
-    the band covers global tile rows [y0_tiles, y0_tiles + height/tile_h).
+    Each triangle emits one pair per covered tile (up to ``expand``;
+    bigger bboxes fall into one global bucket), pairs are sorted by tile,
+    and the records are gathered into pair order — every tile then walks
+    a dense, exactly-sized slice range.
     """
     edge = setup.edge
     t = edge.shape[0]
-    pad = (-t) % chunk
     n_tx = -(-width // tile_w)
     n_ty = -(-height // tile_h)
+    n_tiles = n_ty * n_tx
+    y0f = jnp.asarray(y0_tiles, jnp.float32)
 
-    # Depth as one linear form: zrow_j = sum_i zc_i * edge[i, j]
     zrow = jnp.einsum("ti,tij->tj", setup.zc, edge,
                       precision=jax.lax.Precision.HIGHEST)
-
-    # Invalid triangles: replace with a never-hit record (e2 const = -1).
     never = jnp.zeros((16,), jnp.float32).at[2].set(-1.0).at[5].set(-1.0) \
         .at[8].set(-1.0)
-    # Rows 12-15 carry the pixel-space bbox (x0, y0, x1, y1) — consumed by
-    # the binning below and by downstream passes that reuse the records.
     rec = jnp.concatenate(
-        [
-            edge.reshape(t, 9),
-            zrow,
-            jnp.where(setup.valid[:, None], setup.bbox, 0.0),
-        ],
-        axis=1,
-    )  # (T, 16)
+        [edge.reshape(t, 9), zrow, jnp.zeros((t, 4), jnp.float32)], axis=1
+    )
     rec = jnp.where(setup.valid[:, None], rec, never[None, :])
-    rec = jnp.pad(rec, ((0, pad), (0, 0)),
-                  constant_values=0.0)
-    if pad:
-        rec = rec.at[t:, 2].set(-1.0)
-    n_chunks = rec.shape[0] // chunk
-    records = rec.reshape(n_chunks, chunk, 16).transpose(0, 2, 1)
+    rec16 = jnp.concatenate([rec, never[None, :]], axis=0)  # row t = dead
 
-    # Binning: bbox -> tile overlap bits.
-    bbox = jnp.pad(setup.bbox, ((0, pad), (0, 0)))
-    tx0 = jnp.floor(bbox[:, 0] / tile_w)
-    ty0 = jnp.floor(bbox[:, 1] / tile_h)
-    tx1 = jnp.ceil(bbox[:, 2] / tile_w) - 1.0
-    ty1 = jnp.ceil(bbox[:, 3] / tile_h) - 1.0
-    xs = jnp.arange(n_tx, dtype=jnp.float32)
-    ys = jnp.arange(n_ty, dtype=jnp.float32) + jnp.asarray(
-        y0_tiles, jnp.float32
+    # Covered tile ranges (band-relative rows).
+    bbox = setup.bbox
+    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w), 0, n_tx - 1)
+    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h) - y0f, 0, n_ty - 1)
+    tx1 = jnp.clip(jnp.ceil(bbox[:, 2] / tile_w) - 1.0, 0, n_tx - 1)
+    ty1 = jnp.clip(jnp.ceil(bbox[:, 3] / tile_h) - 1.0 - y0f, 0, n_ty - 1)
+    # Live = valid AND bbox intersects this row band.
+    live = (
+        setup.valid
+        & (bbox[:, 2] > bbox[:, 0])
+        & (bbox[:, 3] > bbox[:, 1])
+        & (bbox[:, 3] / tile_h > y0f)
+        & (bbox[:, 1] / tile_h < y0f + n_ty)
     )
-    ox = ((xs[None, :] >= tx0[:, None]) & (xs[None, :] <= tx1[:, None]))
-    oy = ((ys[None, :] >= ty0[:, None]) & (ys[None, :] <= ty1[:, None]))
-    ox = ox.astype(jnp.float32).reshape(n_chunks, chunk, n_tx)
-    oy = oy.astype(jnp.float32).reshape(n_chunks, chunk, n_ty)
-    # count[c, ty, tx] = sum_k oy * ox  -> active iff > 0
-    counts3 = jnp.einsum("cky,ckx->cyx", oy, ox,
-                         precision=jax.lax.Precision.DEFAULT)
-    active = (counts3 > 0.5).transpose(1, 2, 0).reshape(n_ty * n_tx, n_chunks)
+    nx = (tx1 - tx0 + 1.0)
+    ny = (ty1 - ty0 + 1.0)
+    ncov = jnp.where(live, nx * ny, 0.0)
 
-    # Compact each tile's active chunk ids to the front (ascending order,
-    # O(n) cumsum + scatter — no sort). Unwritten slots keep 0 and are
-    # never read (the kernel walks exactly ``counts`` entries).
-    pos = jnp.cumsum(active.astype(jnp.int32), axis=1) - 1
-    pos = jnp.where(active, pos, n_chunks)  # out-of-bounds -> dropped
-    rows = jnp.broadcast_to(
-        jnp.arange(active.shape[0], dtype=jnp.int32)[:, None], pos.shape
+    # Pair expansion: slot e of triangle i covers tile (ty0 + e // nx,
+    # tx0 + e % nx). DEAD = n_tiles + 1 sorts after the global bucket.
+    dead = jnp.float32(n_tiles + 1)
+    e = jnp.arange(expand, dtype=jnp.float32)[None, :]
+    ey = jnp.floor((e + 0.5) / nx[:, None])
+    ex = e - ey * nx[:, None]
+    tile = (ty0[:, None] + ey) * n_tx + (tx0[:, None] + ex)
+    small = ncov <= expand
+    keys = jnp.where(
+        (e < ncov[:, None]) & small[:, None], tile, dead
     )
-    ids = jnp.broadcast_to(
-        jnp.arange(n_chunks, dtype=jnp.int32)[None, :], pos.shape
+    # Oversized triangles: one pair in the global bucket (key n_tiles).
+    keys = keys.at[:, 0].set(
+        jnp.where(live & ~small, jnp.float32(n_tiles), keys[:, 0])
     )
-    # 3-D (n_tiles, 1, n_chunks_pad): the kernel dynamically indexes tiles
-    # on the untiled leading dim (Mosaic cannot slice a tiled sublane dim)
-    # and DMAs whole lane-aligned rows (128-multiple).
-    chunk_ids = jnp.zeros(active.shape, jnp.int32).at[rows, pos].set(
-        ids, mode="drop"
-    )
-    lane_pad = (-n_chunks) % 128
-    chunk_ids = jnp.pad(chunk_ids, ((0, 0), (0, lane_pad)))[:, None, :]
-    counts = jnp.sum(active, axis=1).astype(jnp.int32)
+    pad = (-(t * expand)) % 128
+    keys = jnp.pad(keys.reshape(-1), ((0, pad)), constant_values=dead)
+    tri_ids = jnp.tile(jnp.arange(t, dtype=jnp.int32)[:, None],
+                       (1, expand))
+    tri_ids = jnp.pad(tri_ids.reshape(-1), ((0, pad)), constant_values=t)
+    tri_ids = jnp.where(keys >= dead, t, tri_ids)
 
-    return ChunkedTriangles(
+    skey, stri = jax.lax.sort(
+        (keys.astype(jnp.int32), tri_ids), num_keys=1
+    )
+
+    # Per-bin offsets (n_tiles dense bins + global bucket + dead).
+    hist = jnp.zeros((n_tiles + 2,), jnp.int32).at[
+        jnp.clip(skey, 0, n_tiles + 1)
+    ].add(1)
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)]
+    )
+    starts = off[:n_tiles]
+    ends = off[1 : n_tiles + 1]
+    gbounds = off[n_tiles : n_tiles + 2]
+
+    pair_rec = rec16[stri]  # (P, 16)
+    n_slices = pair_rec.shape[0] // 128
+    records = pair_rec.reshape(n_slices, 128, 16).transpose(0, 2, 1)
+    return PairedTriangles(
         records=records,
-        chunk_ids=chunk_ids,
-        counts=counts,
-        n_tris=t,
+        pair_tri=stri,
+        starts=starts,
+        ends=ends,
+        gbounds=gbounds,
     )
 
 
-def _vis_kernel(
+def _pair_kernel(
     y0_ref,
-    counts_ref,
-    ids_hbm,
+    starts_ref,
+    ends_ref,
+    gbounds_ref,
     records_hbm,
     init_ref,
     depth_ref,
     tid_ref,
-    ids_ref,
     scratch_ref,
     sem_ref,
-    row_sem_ref,
     *,
-    chunk: int,
     tile_h: int,
     tile_w: int,
     n_tx: int,
@@ -172,164 +185,159 @@ def _vis_kernel(
     if not depth_only:
         tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
 
-    n = counts_ref[t]
-
-    # This tile's compacted chunk-id row: HBM -> SMEM.
-    row_dma = pltpu.make_async_copy(ids_hbm.at[t], ids_ref, row_sem_ref)
-    row_dma.start()
-    row_dma.wait()
-
-    def get_dma(slot, j):
-        return pltpu.make_async_copy(
-            records_hbm.at[ids_ref[0, j]],
-            scratch_ref.at[slot],
-            sem_ref.at[slot],
-        )
-
-    @pl.when(n > 0)
-    def _warmup():
-        get_dma(0, 0).start()
-
     ty = t // n_tx
     tx = t % n_tx
     base_x = (tx * tile_w).astype(jnp.int32)
-    # Global pixel rows: the records' edge forms live in full-viewport
-    # pixel space, so a row band at y0 evaluates them at offset rows.
     base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
 
     n_sub = tile_h // sub_rows
     p_sub = sub_rows * tile_w
-    # Packed f32 winner key: depth quantized to 2^16 levels in the high
-    # bits, lane index in the low bits — both exact integers < 2^24, so
-    # f32 arithmetic and the f32 min-reduce (the VPU's fast path; int32
-    # reduces are dramatically slower on TPU) are exact. Depth comes back
-    # quantized by 2^-16 (~1.5e-5), below the rasterizer's tolerance.
     lane_f = jax.lax.broadcasted_iota(
-        jnp.int32, (1, chunk), 1
+        jnp.int32, (1, 128), 1
     ).astype(jnp.float32)
-    lane_scale = float(1 << (chunk - 1).bit_length())
     depth_scale = 65536.0
 
-    def chunk_body(j, _):
-        slot = jax.lax.rem(j, 2)
+    def walk(lo, hi):
+        """Raster pair slices covering pair indices [lo, hi)."""
+        s0 = lo // 128
+        s1 = (hi + 127) // 128
+        n = s1 - s0
 
-        @pl.when(j + 1 < n)
-        def _prefetch():
-            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
-
-        get_dma(slot, j).wait()
-        c_base = ids_ref[0, j] * chunk
-
-        for sb in range(n_sub):
-            # Pixel coords: sublane axis = flat (sub_rows, tile_w).
-            lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
-            px = (base_x + jnp.mod(lin, tile_w)).astype(jnp.float32) + 0.5
-            py = (
-                base_y + sb * sub_rows + lin // tile_w
-            ).astype(jnp.float32) + 0.5
-
-            def form(r):
-                return (
-                    px * scratch_ref[slot, r : r + 1, :]
-                    + py * scratch_ref[slot, r + 1 : r + 2, :]
-                    + scratch_ref[slot, r + 2 : r + 3, :]
-                )  # (p_sub, chunk)
-
-            e0 = form(0)
-            e1 = form(3)
-            e2 = form(6)
-            d = form(9)
-            esum = e0 + e1 + e2
-            inside = (
-                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+        def get_dma(slot, s):
+            return pltpu.make_async_copy(
+                records_hbm.at[s0 + s],
+                scratch_ref.at[slot],
+                sem_ref.at[slot],
             )
-            if depth_only:
-                cand = jnp.where(inside, d, NO_HIT)
-                kb_best = jnp.min(cand, axis=1)  # (p_sub,)
-                cur = depth_ref[
-                    pl.ds(sb * sub_rows, sub_rows), :
-                ].reshape(p_sub)
-                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
-                    jnp.minimum(kb_best, cur).reshape(sub_rows, tile_w)
-                )
-            else:
-                # ONE f32 min over lanes yields both the quantized depth
-                # and its lane.
-                dq = jnp.floor(d * depth_scale)
-                key = jnp.where(
-                    inside, dq * lane_scale + lane_f, NO_HIT
-                )
-                kmin = jnp.min(key, axis=1)  # (p_sub,)
-                kq = jnp.floor(kmin * (1.0 / lane_scale))
-                kb_best = jnp.where(
-                    kmin < NO_HIT, kq * (1.0 / depth_scale), NO_HIT
-                )
-                kb_id = c_base + (
-                    kmin - kq * lane_scale
-                ).astype(jnp.int32)
-                cur = depth_ref[
-                    pl.ds(sb * sub_rows, sub_rows), :
-                ].reshape(p_sub)
-                take = kb_best < cur
-                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = jnp.where(
-                    take, kb_best, cur
-                ).reshape(sub_rows, tile_w)
-                cur_t = tid_ref[
-                    pl.ds(sb * sub_rows, sub_rows), :
-                ].reshape(p_sub)
-                tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = jnp.where(
-                    take, kb_id, cur_t
-                ).reshape(sub_rows, tile_w)
-        return 0
 
-    jax.lax.fori_loop(0, n, chunk_body, 0)
+        @pl.when(n > 0)
+        def _warmup():
+            get_dma(0, 0).start()
+
+        def slice_body(j, _):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n)
+            def _prefetch():
+                get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+            get_dma(slot, j).wait()
+            c_base = (s0 + j) * 128
+            # Boundary slices are shared with neighbor tiles: mask lanes
+            # whose pair index falls outside [lo, hi).
+            lane_ok = (
+                (lane_f >= (lo - c_base).astype(jnp.float32))
+                & (lane_f < (hi - c_base).astype(jnp.float32))
+            )
+
+            for sb in range(n_sub):
+                lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
+                px = (base_x + jnp.mod(lin, tile_w)).astype(
+                    jnp.float32
+                ) + 0.5
+                py = (
+                    base_y + sb * sub_rows + lin // tile_w
+                ).astype(jnp.float32) + 0.5
+
+                def form(r):
+                    return (
+                        px * scratch_ref[slot, r : r + 1, :]
+                        + py * scratch_ref[slot, r + 1 : r + 2, :]
+                        + scratch_ref[slot, r + 2 : r + 3, :]
+                    )  # (p_sub, 128)
+
+                e0 = form(0)
+                e1 = form(3)
+                e2 = form(6)
+                d = form(9)
+                esum = e0 + e1 + e2
+                inside = (
+                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                    & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+                ) & lane_ok
+                if depth_only:
+                    cand = jnp.where(inside, d, NO_HIT)
+                    kb_best = jnp.min(cand, axis=1)
+                    cur = depth_ref[
+                        pl.ds(sb * sub_rows, sub_rows), :
+                    ].reshape(p_sub)
+                    depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+                        jnp.minimum(kb_best, cur).reshape(
+                            sub_rows, tile_w
+                        )
+                    )
+                else:
+                    dq = jnp.floor(d * depth_scale)
+                    key = jnp.where(
+                        inside, dq * 128.0 + lane_f, NO_HIT
+                    )
+                    kmin = jnp.min(key, axis=1)
+                    kq = jnp.floor(kmin * (1.0 / 128.0))
+                    kb_best = jnp.where(
+                        kmin < NO_HIT, kq * (1.0 / depth_scale), NO_HIT
+                    )
+                    kb_id = c_base + (kmin - kq * 128.0).astype(jnp.int32)
+                    cur = depth_ref[
+                        pl.ds(sb * sub_rows, sub_rows), :
+                    ].reshape(p_sub)
+                    take = kb_best < cur
+                    depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+                        jnp.where(take, kb_best, cur).reshape(
+                            sub_rows, tile_w
+                        )
+                    )
+                    cur_t = tid_ref[
+                        pl.ds(sb * sub_rows, sub_rows), :
+                    ].reshape(p_sub)
+                    tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+                        jnp.where(take, kb_id, cur_t).reshape(
+                            sub_rows, tile_w
+                        )
+                    )
+            return 0
+
+        jax.lax.fori_loop(0, n, slice_body, 0)
+
+    walk(starts_ref[t], ends_ref[t])
+    walk(gbounds_ref[0], gbounds_ref[1])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "tile_h", "tile_w", "chunk", "sub_rows",
+        "height", "width", "tile_h", "tile_w", "sub_rows",
         "depth_only", "interpret",
     ),
 )
-def rasterize_pallas(
-    chunks: ChunkedTriangles,
+def rasterize_pairs(
+    pairs: PairedTriangles,
     height: int,
     width: int,
     init_depth: jnp.ndarray | None = None,
     tile_h: int = 32,
     tile_w: int = 128,
-    chunk: int = 128,
-    sub_rows: int = 16,
+    sub_rows: int = 8,
     depth_only: bool = False,
     y0_tiles=0,
     interpret: bool = False,
 ):
-    """Rasterize chunked triangles to (depth, tri_id) visibility buffers.
-    ``interpret`` runs the kernel in Pallas interpret mode (CPU testing).
+    """Rasterize an exact pair stream to (depth, triangle-id) buffers.
 
-    height/width must be multiples of tile_h/tile_w (pad the target).
-    Returns (depth (H, W) f32 with clear=1.0, tid (H, W) i32 with -1) or
-    just depth when ``depth_only``. Callers pass the SAME ``y0_tiles`` to
-    build_chunks (which offsets the binning) and here (which offsets the
-    kernel's pixel rows into full-viewport space).
+    Returns (depth, tid) with tid = ORIGINAL triangle ids (-1 uncovered),
+    or just depth when ``depth_only``.
     """
     n_tx = width // tile_w
     n_ty = height // tile_h
     n_tiles = n_ty * n_tx
-    n_chunks = chunks.records.shape[0]
-    n_chunks_pad = n_chunks + (-n_chunks) % 128
-    assert chunks.chunk_ids.shape == (n_tiles, 1, n_chunks_pad), (
-        chunks.chunk_ids.shape, (n_tiles, 1, n_chunks_pad))
+    assert pairs.starts.shape == (n_tiles,), (
+        pairs.starts.shape, n_tiles)
     sub_rows = min(sub_rows, tile_h)
 
     if init_depth is None:
         init_depth = jnp.ones((height, width), jnp.float32)
 
     kernel = functools.partial(
-        _vis_kernel,
-        chunk=chunk,
+        _pair_kernel,
         tile_h=tile_h,
         tile_w=tile_w,
         n_tx=n_tx,
@@ -337,17 +345,13 @@ def rasterize_pallas(
         depth_only=depth_only,
     )
 
-    def tile_index(t, y0, counts):
+    def tile_index(t, y0, starts, ends, gbounds):
         return (t // n_tx, t % n_tx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=[
-            # Explicit HBM: ANY lets Mosaic stage these in VMEM, where
-            # dynamic row slicing of a tiled memref is unsupported (and
-            # staging defeats the per-tile DMA scheme anyway).
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((tile_h, tile_w), tile_index),
         ],
@@ -356,10 +360,8 @@ def rasterize_pallas(
             pl.BlockSpec((tile_h, tile_w), tile_index),
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, n_chunks_pad), jnp.int32),
-            pltpu.VMEM((2, 16, chunk), jnp.float32),
+            pltpu.VMEM((2, 16, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
     out_shape = (
@@ -367,7 +369,7 @@ def rasterize_pallas(
         jax.ShapeDtypeStruct((height, width), jnp.int32),
     )
     y0_arr = jnp.asarray(y0_tiles, jnp.int32).reshape(1)
-    depth, tid = pl.pallas_call(
+    depth, tid_pair = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -375,7 +377,11 @@ def rasterize_pallas(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(y0_arr, chunks.counts, chunks.chunk_ids, chunks.records, init_depth)
+    )(y0_arr, pairs.starts, pairs.ends, pairs.gbounds, pairs.records,
+      init_depth)
     if depth_only:
         return depth
+    tid = jnp.where(
+        tid_pair >= 0, pairs.pair_tri[jnp.maximum(tid_pair, 0)], -1
+    )
     return depth, tid

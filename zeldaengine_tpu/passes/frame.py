@@ -34,8 +34,8 @@ from zeldaengine_tpu.ops.rasterize import (
     rasterize_depth,
 )
 from zeldaengine_tpu.ops.rasterize_pallas import (
-    build_chunks,
-    rasterize_pallas,
+    build_pairs,
+    rasterize_pairs,
 )
 from zeldaengine_tpu.ops.culling import expand_meshlet_mask, meshlet_cull
 from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
@@ -80,14 +80,13 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
                 init_depth, ((0, ph - height), (0, pw - width)),
                 constant_values=1.0,
             )
-        chunk = config.tri_chunk
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
-        chunks = build_chunks(setup, pw, ph, config.tile_h, config.tile_w,
-                              chunk, y0_tiles=y0_tiles)
-        depth, tid = rasterize_pallas(
-            chunks, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
-            tile_w=config.tile_w, chunk=chunk,
-            sub_rows=config.sub_rows, y0_tiles=y0_tiles,
+        pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
+                            expand=config.pair_expand, y0_tiles=y0_tiles)
+        depth, tid = rasterize_pairs(
+            pairs, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
+            tile_w=config.tile_w, sub_rows=config.sub_rows,
+            y0_tiles=y0_tiles,
         )
         return depth[:height, :width], tid[:height, :width]
     return rasterize_visibility(
@@ -100,14 +99,13 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                   band: bool = False, rows=None):
     height = rows if rows is not None else dim
     if _use_pallas(config, band, height):
-        chunk = config.tri_chunk
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
-        chunks = build_chunks(setup, dim, height, config.tile_h,
-                              config.tile_w, chunk, y0_tiles=y0_tiles)
-        return rasterize_pallas(
-            chunks, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
-            chunk=chunk, sub_rows=config.sub_rows,
-            depth_only=True, y0_tiles=y0_tiles,
+        pairs = build_pairs(setup, dim, height, config.tile_h,
+                            config.tile_w, expand=config.pair_expand,
+                            y0_tiles=y0_tiles)
+        return rasterize_pairs(
+            pairs, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
+            sub_rows=config.sub_rows, depth_only=True, y0_tiles=y0_tiles,
         )
     return rasterize_depth(setup, height, dim, chunk=config.tri_chunk, y0=y0)
 
