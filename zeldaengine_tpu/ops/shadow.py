@@ -106,15 +106,26 @@ def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     xb = jnp.floor(fx).astype(jnp.int32)
     xm = jnp.mod(xb, dim_x)
 
-    ch = jax.lax.broadcasted_iota(jnp.int32, (w_win,), 0)
+    # X-tap channel: floor(fx + scale*ox) - xb = floor(frx + scale*ox)
+    # with frx in [0, 1) takes at most TWO values — floor(scale*ox) and
+    # floor(scale*ox)+1, split at frx >= ceil(scale*ox) - scale*ox. So
+    # each tap is a static channel read or one 2-way select instead of a
+    # one-hot reduction over the whole window.
+    frx = fx - jnp.floor(fx)
     total = 0.0
     count = 0
     for oy in range(-radius, radius + 1):
         iy = jnp.mod(jnp.floor(fy + scale * oy).astype(jnp.int32), dim_y)
         row = table[iy * wp + xm]  # (..., w_win) = sm[iy, xb+lo .. xb+hi]
         for ox in range(-radius, radius + 1):
-            dx = jnp.floor(fx + scale * ox).astype(jnp.int32) - xb - lo
-            dist = jnp.sum(row * (ch == dx[..., None]), axis=-1)
+            so = scale * ox
+            c0 = int(np.floor(so)) - lo
+            if so == np.floor(so):
+                dist = row[..., c0]
+            else:
+                thr = np.ceil(so) - so
+                dist = jnp.where(frx >= thr, row[..., c0 + 1],
+                                 row[..., c0])
             occluded = in_range & (dist < z_cmp)
             total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
             count += 1

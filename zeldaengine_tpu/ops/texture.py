@@ -126,9 +126,20 @@ def sample_trilinear(atlas: jnp.ndarray, layer, uv, lod, base: int):
 
 
 def _is_packed(atlas: jnp.ndarray) -> bool:
-    """Neighborhood-packed atlases carry 4x the channels (2x2 footprint
-    per row); plain RGBA atlases have C=4."""
+    """Neighborhood-packed atlases carry 4x (2x2 footprint) or 13x
+    (mip-pair footprint) the base channels; plain RGBA atlases have C=4."""
     return atlas.shape[-1] >= 16
+
+
+def _packed_base_channels(c_all: int) -> int:
+    """Base channel count of a packed atlas row.
+
+    Mip-pair rows hold 13 groups (2x2 at level l + 3x3 at l+1), plain
+    packed rows hold 4 (2x2). Base channels are 4 or 16, so the counts
+    (52/208 vs 16/64) never collide."""
+    if c_all % 13 == 0:
+        return c_all // 13
+    return c_all // 4
 
 
 def sample_base(atlas: jnp.ndarray, layer, uv, base: int):
@@ -239,14 +250,132 @@ def build_packed_mip_atlas(images: np.ndarray) -> np.ndarray:
     return atlas
 
 
+def build_mip_pair_atlas(images: np.ndarray) -> np.ndarray:
+    """Pack (N, S, S, C) images into (N, S, 2S, 13C) mip atlases where each
+    texel row carries its full 2x2 bilinear footprint at its own level
+    PLUS the 3x3 footprint at the next level, anchored at
+    (x//2 - 1, y//2 - 1) — which covers the next level's 2x2 bilinear
+    window for every sub-texel position.
+
+    A trilinear sample then needs ONE gather per pixel. TPU gathers cost
+    per gather op (~5 ms per 2M-pixel pass, and super-additive when
+    several land in one program — measured 12 ms for one packed tap vs
+    43 ms for two); row width up to ~256 B is nearly free.
+    """
+    images = np.asarray(images, np.float32)
+    n, s, s2_, c = images.shape
+    assert s == s2_ and (s & (s - 1)) == 0
+
+    levels = [images]
+    size = s
+    while size > 1:
+        size //= 2
+        levels.append(
+            levels[-1].reshape(n, size, 2, size, 2, c).mean(axis=(2, 4))
+        )
+
+    atlas = np.zeros((n, s, 2 * s, 13 * c), np.float32)
+    for lv, level in enumerate(levels):
+        size = level.shape[1]
+        nxt = levels[min(lv + 1, len(levels) - 1)]
+        sn = nxt.shape[1]
+        x = np.arange(size)
+        y = np.arange(size)
+        xp = np.minimum(x + 1, size - 1)
+        yp = np.minimum(y + 1, size - 1)
+        groups = [level, level[:, :, xp], level[:, yp, :],
+                  level[:, yp][:, :, xp]]
+        for dy in range(3):
+            gy = np.clip(y // 2 - 1 + dy, 0, sn - 1)
+            for dx in range(3):
+                gx = np.clip(x // 2 - 1 + dx, 0, sn - 1)
+                groups.append(nxt[:, gy][:, :, gx])
+        off = mip_offset_x(lv, s)
+        atlas[:, :size, off : off + size] = np.concatenate(groups, axis=-1)
+    return atlas
+
+
+def sample_trilinear_pair(atlas13: jnp.ndarray, layer, uv, lod, base: int):
+    """Trilinear from a mip-pair atlas: ONE gather per pixel.
+
+    Matches sample_trilinear (repeat addressing, clamp at mip borders,
+    linear mip blend) — the level-(l+1) 2x2 window is selected out of the
+    stored 3x3 with binary row/column selects."""
+    c13 = atlas13.shape[-1]
+    c = c13 // 13
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, mip_count(base) - 1.0)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    lvl = l0.astype(jnp.int32)
+
+    size_f = jnp.asarray(base, jnp.float32) / jnp.exp2(l0)
+    size_f = jnp.maximum(jnp.floor(size_f + 0.5), 1.0)
+    offs = _mip_offsets_table(base)[jnp.clip(lvl, 0, mip_count(base) - 1)]
+
+    uw = uv[..., 0] - jnp.floor(uv[..., 0])
+    vw = uv[..., 1] - jnp.floor(uv[..., 1])
+    u = uw * size_f - 0.5
+    v = vw * size_f - 0.5
+    size_i = size_f.astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, size_i - 1)
+    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, size_i - 1)
+    fu = jnp.clip(u - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    fv = jnp.clip(v - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    layer = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), x0.shape)
+    row = _gather_texel(
+        atlas13, layer, x0 + offs.astype(jnp.int32), y0
+    ).astype(jnp.float32)  # (..., 13c)
+
+    def grp(i):
+        return row[..., i * c : (i + 1) * c]
+
+    lo_top = grp(0) * (1 - fu) + grp(1) * fu
+    lo_bot = grp(2) * (1 - fu) + grp(3) * fu
+    lo = lo_top * (1 - fv) + lo_bot * fv
+
+    # Level l0+1 bilinear out of the 3x3 (groups 4..12, row-major dy,dx).
+    s2 = jnp.maximum(size_f * 0.5, 1.0)
+    s2_i = s2.astype(jnp.int32)
+    u2 = uw * s2 - 0.5
+    v2 = vw * s2 - 0.5
+    x20 = jnp.clip(jnp.floor(u2).astype(jnp.int32), 0, s2_i - 1)
+    y20 = jnp.clip(jnp.floor(v2).astype(jnp.int32), 0, s2_i - 1)
+    fu2 = jnp.clip(u2 - x20.astype(jnp.float32), 0.0, 1.0)[..., None]
+    fv2 = jnp.clip(v2 - y20.astype(jnp.float32), 0.0, 1.0)[..., None]
+    r = jnp.clip(x20 - (x0 // 2 - 1), 0, 1)[..., None]  # column offset
+    q = jnp.clip(y20 - (y0 // 2 - 1), 0, 1)[..., None]  # row offset
+    r0 = r == 0
+    q0 = q == 0
+
+    def nrow(dy):
+        a = jnp.where(q0, grp(4 + dy * 3), grp(7 + dy * 3))
+        b = jnp.where(q0, grp(5 + dy * 3), grp(8 + dy * 3))
+        cc = jnp.where(q0, grp(6 + dy * 3), grp(9 + dy * 3))
+        return a, b, cc
+
+    a0, b0, c0 = nrow(0)
+    a1, b1, c1 = nrow(1)
+    t00h = jnp.where(r0, a0, b0)
+    t10h = jnp.where(r0, b0, c0)
+    t01h = jnp.where(r0, a1, b1)
+    t11h = jnp.where(r0, b1, c1)
+    hi_top = t00h * (1 - fu2) + t10h * fu2
+    hi_bot = t01h * (1 - fu2) + t11h * fu2
+    hi = hi_top * (1 - fv2) + hi_bot * fv2
+
+    return lo * (1 - frac) + hi * frac
+
+
 def sample_bilinear_level_packed(atlas4: jnp.ndarray, layer, uv, level,
                                  base: int):
     """Bilinear tap from a neighborhood-packed atlas: ONE gather per pixel.
 
     Matches sample_bilinear_level semantics (repeat across tile repeats,
-    clamp at mip borders)."""
+    clamp at mip borders). Works on both 2x2-packed (4C) and mip-pair
+    (13C) layouts — the level-l 2x2 occupies the first 4 groups of each."""
     c4 = atlas4.shape[-1]
-    c = c4 // 4
+    c = _packed_base_channels(c4)
     lvl = jnp.asarray(level, jnp.int32)
     size_f = jnp.asarray(base, jnp.float32) / jnp.exp2(lvl.astype(jnp.float32))
     size_f = jnp.maximum(jnp.floor(size_f + 0.5), 1.0)
@@ -278,7 +407,10 @@ def sample_bilinear_level_packed(atlas4: jnp.ndarray, layer, uv, level,
 
 
 def sample_trilinear_packed(atlas4: jnp.ndarray, layer, uv, lod, base: int):
-    """Trilinear from a packed atlas: 2 gathers per pixel total."""
+    """Trilinear from a packed atlas: one gather (mip-pair layout) or two
+    (2x2 layout)."""
+    if atlas4.shape[-1] % 13 == 0:
+        return sample_trilinear_pair(atlas4, layer, uv, lod, base)
     lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, mip_count(base) - 1.0)
     l0 = jnp.floor(lod)
     frac = (lod - l0)[..., None]

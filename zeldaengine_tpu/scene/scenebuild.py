@@ -119,10 +119,10 @@ class GpuScene(NamedTuple):
     # index, not per byte, so one 16-wide row fetch returns every
     # texture's texel at once.
     mat_combined: jnp.ndarray  # (M,) int32 -> combined_atlas layer
-    combined_atlas: jnp.ndarray  # (Mc, S, 2S, 64) bf16 (2x2-packed)
-    cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 16) packed sky cubemap faces
-    sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 16) packed skydome equirect texture
-    bg_tex: jnp.ndarray  # (1, Sb, 2Sb, 16) packed background texture
+    combined_atlas: jnp.ndarray  # (Mc, S, 2S, 208) bf16 (mip-pair-packed)
+    cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 52) mip-pair sky cubemap faces
+    sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 52) mip-pair skydome equirect tex
+    bg_tex: jnp.ndarray  # (1, Sb, 2Sb, 52) mip-pair background texture
 
     # skydome mesh (inside-out sphere; Content/Models/skydome.obj analogue)
     sky_pos: jnp.ndarray  # (Vs, 3)
@@ -508,8 +508,12 @@ class SceneBuilder:
                               composite_cache[key]]
 
         # Combined supertextures (mip atlases built per unique combo),
-        # neighborhood-packed so one gather returns the bilinear footprint.
-        from zeldaengine_tpu.ops.texture import build_packed_mip_atlas as _bma
+        # mip-pair-packed so ONE gather returns the whole trilinear
+        # footprint (2x2 at level l + 3x3 at l+1).
+        from zeldaengine_tpu.ops.texture import (
+            build_mip_pair_atlas as _bmp,
+            build_packed_mip_atlas as _bma,
+        )
 
         combo_cache = {}
         mat_combined = np.zeros((mats.shape[0],), np.int32)
@@ -527,7 +531,7 @@ class SceneBuilder:
                 combined_imgs.append(img16)
                 combo_cache[key] = len(combined_imgs) - 1
             mat_combined[mi] = combo_cache[key]
-        combined_atlas = _bma(np.stack(combined_imgs))
+        combined_atlas = _bmp(np.stack(combined_imgs))
 
         pair_static = np.zeros((p_cap, 8), np.float32)
         pair_static[:n_pairs, 0:2] = pair_uv
@@ -557,10 +561,12 @@ class SceneBuilder:
             tri_meta=jnp.asarray(tri_meta),
             mat_combined=jnp.asarray(mat_combined),
             combined_atlas=jnp.asarray(combined_atlas, jnp.bfloat16),
-            # Neighborhood-packed (16-ch rows): trilinear = 2 flat gathers.
-            # bf16 storage halves gather-table bytes; 8-bit texture sources
-            # carry less precision than bf16 keeps, and samplers cast the
-            # fetched texels back to f32 before filtering.
+            # Cube/sky/background stay 2x2-packed: sky/bg only ever
+            # sample mip 0 (sample_base), and the cube's mip-pair variant
+            # measured SLOWER (78 MB gather table vs 24 MB beats the
+            # saved second tap). bf16 storage halves table bytes; 8-bit
+            # texture sources carry less precision than bf16 keeps, and
+            # samplers cast fetched texels back to f32 before filtering.
             cube_atlas=jnp.asarray(_bma(self.cube_faces), jnp.bfloat16),
             sky_tex=jnp.asarray(_bma(self.sky_image[None]), jnp.bfloat16),
             bg_tex=jnp.asarray(_bma(self.bg_image[None]), jnp.bfloat16),
