@@ -1,0 +1,98 @@
+"""Texture sampling: the one-gather mip-pair layout must reproduce the
+plain (unpacked) trilinear path bit-for-bit-ish on random data.
+
+The mip-pair atlas stores, per texel, its 2x2 bilinear footprint at its
+own level plus the 3x3 footprint at the next level (anchored at
+(x//2 - 1, y//2 - 1)); sampling selects the true 2x2 window out of the
+3x3 with binary selects. Reference semantics: sample_trilinear over a
+build_mip_atlas atlas (repeat addressing, clamp at mip borders, linear
+mip blend) — itself a port of the reference's trilinear sampler chain
+(RHIGenerateMipmaps ZeldaEngine.cpp:6348, RHICreateSampler :6523).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from zeldaengine_tpu.ops.texture import (
+    build_mip_atlas,
+    build_mip_pair_atlas,
+    build_packed_mip_atlas,
+    sample_trilinear,
+    sample_trilinear_packed,
+    sample_trilinear_pair,
+    sample_base,
+)
+
+S = 32
+N = 3
+C = 4
+
+
+def _images(rng):
+    return rng.rand(N, S, S, C).astype(np.float32)
+
+
+def _coords(rng, n=4096):
+    uv = jnp.asarray(rng.rand(n, 2).astype(np.float32) * 2.0 - 0.5)
+    lod = jnp.asarray(rng.rand(n).astype(np.float32) * (S.bit_length() - 1))
+    layer = jnp.asarray(rng.randint(0, N, n).astype(np.int32))
+    return uv, lod, layer
+
+
+def test_pair_matches_plain_trilinear(rng):
+    """Interior texels at moderate LODs: the packed layouts edge-CLAMP
+    bilinear windows at mip borders where the plain path WRAPs (a known,
+    documented divergence), so the plain-path comparison stays away from
+    texture borders on both blended levels."""
+    imgs = _images(rng)
+    plain = jnp.asarray(build_mip_atlas(imgs))
+    pair = jnp.asarray(build_mip_pair_atlas(imgs))
+    n = 4096
+    uv = jnp.asarray(0.3 + 0.4 * rng.rand(n, 2).astype(np.float32))
+    lod = jnp.asarray(rng.rand(n).astype(np.float32) * 2.0)
+    layer = jnp.asarray(rng.randint(0, N, n).astype(np.int32))
+    ref = sample_trilinear(plain, layer, uv, lod, S)
+    out = sample_trilinear_pair(pair, layer, uv, lod, S)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pair_matches_packed_2x2(rng):
+    """The legacy 2x2-packed path and the pair path agree (both remain in
+    use: cube/sky/bg atlases are 2x2-packed, materials are mip-pair)."""
+    imgs = _images(rng)
+    packed = jnp.asarray(build_packed_mip_atlas(imgs))
+    pair = jnp.asarray(build_mip_pair_atlas(imgs))
+    uv, lod, layer = _coords(rng)
+    a = sample_trilinear_packed(packed, layer, uv, lod, S)
+    b = sample_trilinear_packed(pair, layer, uv, lod, S)  # dispatches pair
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pair_mip0_base_tap(rng):
+    """sample_base (mip-0 bilinear) works on the pair layout: its first 4
+    channel groups are the level-l 2x2, same as the 2x2-packed layout."""
+    imgs = _images(rng)
+    packed = jnp.asarray(build_packed_mip_atlas(imgs))
+    pair = jnp.asarray(build_mip_pair_atlas(imgs))
+    uv, _, layer = _coords(rng)
+    a = sample_base(packed, layer, uv, S)
+    b = sample_base(pair, layer, uv, S)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pair_last_mip_finite(rng):
+    """At the last mip level (frac = 0 against the self-referencing 3x3)
+    the pair path stays finite and equals the plain path."""
+    imgs = _images(rng)
+    plain = jnp.asarray(build_mip_atlas(imgs))
+    pair = jnp.asarray(build_mip_pair_atlas(imgs))
+    uv, _, layer = _coords(rng, n=512)
+    lod = jnp.full((512,), float(S.bit_length() - 1), jnp.float32)
+    ref = sample_trilinear(plain, layer, uv, lod, S)
+    out = sample_trilinear_pair(pair, layer, uv, lod, S)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

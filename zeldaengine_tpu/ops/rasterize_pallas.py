@@ -196,35 +196,49 @@ def _pair_kernel(
         jnp.int32, (1, 128), 1
     ).astype(jnp.float32)
     depth_scale = 65536.0
+    n_slots = 4  # DMA pipeline depth (hides HBM latency across slices)
 
-    def walk(lo, hi):
-        """Raster pair slices covering pair indices [lo, hi)."""
-        s0 = lo // 128
-        s1 = (hi + 127) // 128
-        n = s1 - s0
+    def walk(lo_a, hi_a, lo_b, hi_b):
+        """Raster pair slices covering indices [lo_a, hi_a) u [lo_b, hi_b)
+        — the tile's dense range and the global bucket, as ONE loop so the
+        DMA pipeline never drains between them."""
+        s0_a = lo_a // 128
+        n_a = jnp.where(hi_a > lo_a, (hi_a + 127) // 128 - s0_a, 0)
+        s0_b = lo_b // 128
+        n_b = jnp.where(hi_b > lo_b, (hi_b + 127) // 128 - s0_b, 0)
+        n = n_a + n_b
 
-        def get_dma(slot, s):
+        def slice_of(j):
+            return jnp.where(j < n_a, s0_a + j, s0_b + (j - n_a))
+
+        def get_dma(slot, j):
             return pltpu.make_async_copy(
-                records_hbm.at[s0 + s],
+                records_hbm.at[slice_of(j)],
                 scratch_ref.at[slot],
                 sem_ref.at[slot],
             )
 
-        @pl.when(n > 0)
-        def _warmup():
-            get_dma(0, 0).start()
+        for k in range(n_slots - 1):
+            @pl.when(k < n)
+            def _warmup(k=k):
+                get_dma(k, k).start()
 
         def slice_body(j, _):
-            slot = jax.lax.rem(j, 2)
+            slot = jax.lax.rem(j, n_slots)
 
-            @pl.when(j + 1 < n)
+            @pl.when(j + n_slots - 1 < n)
             def _prefetch():
-                get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+                get_dma(
+                    jax.lax.rem(j + n_slots - 1, n_slots), j + n_slots - 1
+                ).start()
 
             get_dma(slot, j).wait()
-            c_base = (s0 + j) * 128
+            in_a = j < n_a
+            c_base = slice_of(j) * 128
+            lo = jnp.where(in_a, lo_a, lo_b)
+            hi = jnp.where(in_a, hi_a, hi_b)
             # Boundary slices are shared with neighbor tiles: mask lanes
-            # whose pair index falls outside [lo, hi).
+            # whose pair index falls outside the walked range.
             lane_ok = (
                 (lane_f >= (lo - c_base).astype(jnp.float32))
                 & (lane_f < (hi - c_base).astype(jnp.float32))
@@ -298,8 +312,7 @@ def _pair_kernel(
 
         jax.lax.fori_loop(0, n, slice_body, 0)
 
-    walk(starts_ref[t], ends_ref[t])
-    walk(gbounds_ref[0], gbounds_ref[1])
+    walk(starts_ref[t], ends_ref[t], gbounds_ref[0], gbounds_ref[1])
 
 
 @functools.partial(
@@ -360,8 +373,8 @@ def rasterize_pairs(
             pl.BlockSpec((tile_h, tile_w), tile_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out_shape = (
