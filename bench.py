@@ -42,6 +42,48 @@ def _bench_loop(step, scene, make_view, frames):
     return float(np.median(times)), compile_s
 
 
+def _steady_loop(render, scene, make_view, frames):
+    """Steady-state frame time: N frames inside ONE jitted scan, with the
+    carry folded into each view so no frame hoists out of the loop, then
+    differenced across two lengths. This removes the per-dispatch
+    round-trip of the tunneled backend (25-55 ms of noise per call) that
+    per-frame host timing cannot separate from device work.
+    """
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    views = [make_view(i) for i in range(2)]
+    vstack = jtu.tree_map(lambda *xs: jnp.stack(xs), *views)
+
+    compile_s = [0.0]
+
+    def run(n):
+        @jax.jit
+        def f(scene, vstack):
+            def body(c, i):
+                v = jtu.tree_map(lambda x: x[i % 2], vstack)
+                v = v._replace(time=v.time + c * 1e-12)
+                img = render(scene, v)
+                return c + jnp.sum(img) * 1e-9, 0.0
+            c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return c
+
+        t0 = time.time()
+        _force(f(scene, vstack))
+        compile_s[0] += time.time() - t0
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            _force(f(scene, vstack))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    n1, n2 = 1, max(frames, 2)
+    t1, t2 = run(n1), run(n2)
+    return (t2 - t1) / (n2 - n1), compile_s[0]
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=3,
@@ -55,6 +97,9 @@ def main() -> None:
                         help="point lights for config 3 (>64 exercises "
                              "tiled light culling at 512 capacity)")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--steady", action="store_true",
+                        help="steady-state scan timing (subtracts the "
+                             "tunneled backend's per-dispatch round trip)")
     parser.add_argument("--profile", action="store_true",
                         help="per-pass ms breakdown (profiling.py)")
     parser.add_argument("--out", type=str, default=None)
@@ -265,7 +310,15 @@ def main() -> None:
             light_capacities=(8, cap_p, 8),
         )
 
-    frame_s, compile_s = _bench_loop(step, scene, make_view, args.frames)
+    if args.steady:
+        frame_s, compile_s = _steady_loop(
+            lambda s, v: render_rows(s, v, meta, config)[0],
+            scene, make_view, args.frames,
+        )
+        detail["timing"] = "steady-state scan"
+    else:
+        frame_s, compile_s = _bench_loop(step, scene, make_view,
+                                         args.frames)
     fps = 1.0 / frame_s
     mtris = n_tris * fps / 1e6
 

@@ -96,3 +96,25 @@ def test_pair_last_mip_finite(rng):
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_quad_packed_matches_2x2(rng):
+    """Quad-packed rows (4 x-adjacent bases fused) must reproduce the
+    2x2-packed path exactly, at every mip and across the select tree."""
+    from zeldaengine_tpu.ops.texture import (
+        build_quad_packed_atlas,
+        sample_trilinear_packed as stp,
+    )
+
+    imgs = _images(rng)
+    packed = jnp.asarray(build_packed_mip_atlas(imgs))
+    quad = jnp.asarray(build_quad_packed_atlas(imgs))
+    uv, lod, layer = _coords(rng)
+    a = stp(packed, layer, uv, lod, S)
+    b = stp(quad, layer, uv, lod, S, quad=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-6)
+    sa = sample_base(packed, layer, uv, S)
+    sb = sample_base(quad, layer, uv, S, quad=True)
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                               atol=1e-6, rtol=1e-6)

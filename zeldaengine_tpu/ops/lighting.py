@@ -243,7 +243,8 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
         roughness, jnp.asarray(sky_max_mips, jnp.float32)
     )
     refl_l = sample_cubemap_lod(
-        cube_atlas, jnp.zeros(roughness.shape, jnp.int32), r, mips, cubemap_size
+        cube_atlas, jnp.zeros(roughness.shape, jnp.int32), r, mips,
+        cubemap_size, quad=True,
     )[..., :3] * 10.0
     refl_v = pbr.specular_occlusion(ndotv, roughness * roughness, ao)
     return refl_l * refl_v[..., None] * brdf

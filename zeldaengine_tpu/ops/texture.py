@@ -142,12 +142,13 @@ def _packed_base_channels(c_all: int) -> int:
     return c_all // 4
 
 
-def sample_base(atlas: jnp.ndarray, layer, uv, base: int):
+def sample_base(atlas: jnp.ndarray, layer, uv, base: int,
+                quad: bool = False):
     """Bilinear tap at mip 0 (``texture()`` without explicit derivatives,
     as the GBuffer pass effectively uses for magnified textures)."""
-    if _is_packed(atlas):
+    if quad or _is_packed(atlas):
         return sample_bilinear_level_packed(
-            atlas, layer, uv, jnp.zeros((), jnp.int32), base
+            atlas, layer, uv, jnp.zeros((), jnp.int32), base, quad=quad
         )
     return sample_bilinear_level(atlas, layer, uv, jnp.zeros((), jnp.int32), base)
 
@@ -183,7 +184,7 @@ def cube_direction_to_face_uv(d):
 
 
 def sample_cubemap_lod(cube_atlas: jnp.ndarray, cube_index, direction, lod,
-                       base: int):
+                       base: int, quad: bool = False):
     """textureLod(samplerCube, dir, lod).
 
     cube_atlas: (6 * n_cubemaps, S, 2S, C) — faces are consecutive layers
@@ -201,8 +202,9 @@ def sample_cubemap_lod(cube_atlas: jnp.ndarray, cube_index, direction, lod,
     half = 0.5 / size_f
     uv = jnp.clip(uv, half[..., None], 1.0 - half[..., None])
     layer = jnp.asarray(cube_index, jnp.int32) * 6 + face
-    if _is_packed(cube_atlas):
-        return sample_trilinear_packed(cube_atlas, layer, uv, lod, base)
+    if quad or _is_packed(cube_atlas):
+        return sample_trilinear_packed(cube_atlas, layer, uv, lod, base,
+                                       quad=quad)
     return sample_trilinear(cube_atlas, layer, uv, lod, base)
 
 
@@ -367,14 +369,40 @@ def sample_trilinear_pair(atlas13: jnp.ndarray, layer, uv, lod, base: int):
     return lo * (1 - frac) + hi * frac
 
 
+def build_quad_packed_atlas(images: np.ndarray) -> np.ndarray:
+    """2x2-packed atlas with 4 x-adjacent texel rows fused per table row
+    (shape (N, S, S/2, 16C)): 4x fewer gather-table rows. TPU gather cost
+    falls sharply with row count (below ~200k rows: ~5 ms vs 7-12 ms per
+    2M-pixel pass), and rows up to ~256 B are free; the right base is
+    picked from the fetched row with two binary selects."""
+    packed = build_packed_mip_atlas(images)
+    n, s, w2, c4 = packed.shape
+    return packed.reshape(n, s, w2 // 4, 4 * c4)
+
+
+def _quad_gather(atlas_q: jnp.ndarray, layer, ix, iy, c4: int):
+    """Fetch the 2x2-packed group for global atlas column ``ix`` from a
+    quad-packed atlas: one row gather + 2-level binary select."""
+    n, h, wq, cq = atlas_q.shape
+    flat = atlas_q.reshape(n * h * wq, cq)
+    idx = (layer * h + iy) * wq + ix // 4
+    row = flat[idx]
+    j = ix % 4
+    half = jnp.where((j[..., None] & 2) == 0, row[..., : 2 * c4],
+                     row[..., 2 * c4 :])
+    return jnp.where((j[..., None] & 1) == 0, half[..., :c4],
+                     half[..., c4:])
+
+
 def sample_bilinear_level_packed(atlas4: jnp.ndarray, layer, uv, level,
-                                 base: int):
+                                 base: int, quad: bool = False):
     """Bilinear tap from a neighborhood-packed atlas: ONE gather per pixel.
 
     Matches sample_bilinear_level semantics (repeat across tile repeats,
-    clamp at mip borders). Works on both 2x2-packed (4C) and mip-pair
-    (13C) layouts — the level-l 2x2 occupies the first 4 groups of each."""
-    c4 = atlas4.shape[-1]
+    clamp at mip borders). Works on 2x2-packed (4C), mip-pair (13C) and —
+    with ``quad=True`` — quad-packed (4 x 4C) layouts; the level-l 2x2
+    occupies the first 4 groups of each."""
+    c4 = atlas4.shape[-1] // 4 if quad else atlas4.shape[-1]
     c = _packed_base_channels(c4)
     lvl = jnp.asarray(level, jnp.int32)
     size_f = jnp.asarray(base, jnp.float32) / jnp.exp2(lvl.astype(jnp.float32))
@@ -395,7 +423,10 @@ def sample_bilinear_level_packed(atlas4: jnp.ndarray, layer, uv, level,
 
     ox = offs.astype(jnp.int32)
     layer = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), x0.shape)
-    texel = _gather_texel(atlas4, layer, x0 + ox, y0)  # (..., 4c)
+    if quad:
+        texel = _quad_gather(atlas4, layer, x0 + ox, y0, c4)  # (..., 4c)
+    else:
+        texel = _gather_texel(atlas4, layer, x0 + ox, y0)  # (..., 4c)
     texel = texel.astype(jnp.float32)  # atlases may be stored bf16
     t00 = texel[..., 0:c]
     t10 = texel[..., c : 2 * c]
@@ -406,18 +437,20 @@ def sample_bilinear_level_packed(atlas4: jnp.ndarray, layer, uv, level,
     return top * (1 - fv) + bot * fv
 
 
-def sample_trilinear_packed(atlas4: jnp.ndarray, layer, uv, lod, base: int):
+def sample_trilinear_packed(atlas4: jnp.ndarray, layer, uv, lod, base: int,
+                            quad: bool = False):
     """Trilinear from a packed atlas: one gather (mip-pair layout) or two
-    (2x2 layout)."""
-    if atlas4.shape[-1] % 13 == 0:
+    (2x2 / quad layouts)."""
+    if not quad and atlas4.shape[-1] % 13 == 0:
         return sample_trilinear_pair(atlas4, layer, uv, lod, base)
     lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, mip_count(base) - 1.0)
     l0 = jnp.floor(lod)
     frac = (lod - l0)[..., None]
     a = sample_bilinear_level_packed(atlas4, layer, uv, l0.astype(jnp.int32),
-                                     base)
+                                     base, quad=quad)
     b = sample_bilinear_level_packed(
         atlas4, layer, uv,
         jnp.minimum(l0 + 1, mip_count(base) - 1).astype(jnp.int32), base,
+        quad=quad,
     )
     return a * (1 - frac) + b * frac

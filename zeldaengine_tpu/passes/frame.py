@@ -149,7 +149,12 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
 def _debug_switch(debug_view, final, attrs: SurfaceAttributes, shadow_factor,
                   reflection, extra_case9=None):
     """The SPEC_CONSTANTS switch of Base.frag:119-143 (forward) and
-    BaseLighting.frag:237-253 (deferred when ``extra_case9`` is given)."""
+    BaseLighting.frag:237-253 (deferred when ``extra_case9`` is given).
+
+    A FLAT lax.switch measures fastest here: restructuring as
+    cond(view == 0, final, switch(...)) to keep debug branches off the
+    common path cost +32 ms/frame (the cond boundary blocks fusion of the
+    resolve chain with the passes after it)."""
 
     def c(x):
         return jnp.broadcast_to(x[..., None] if x.ndim == 2 else x, final.shape)
@@ -240,7 +245,7 @@ def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
     r = pbr.refract(v, normal, 1.0 / 1.52)
     refl = sample_cubemap_lod(
         cube_atlas, jnp.zeros(x.shape, jnp.int32), r, jnp.zeros(x.shape),
-        config.cubemap_size,
+        config.cubemap_size, quad=True,
     )[..., :3] * 10.0
     put(1, 2, refl)
     # (2,2): shadow factor — reuse the frame's computed factor, warped by
@@ -353,7 +358,7 @@ def _skydome_mesh(scene, view, depth, color, show_env, height, width,
     sky_rgb = gamma_correct(
         sample_base(
             scene.sky_tex, jnp.zeros_like(tid_sky), uv,
-            config.background_size,
+            config.background_size, quad=True,
         )[..., :3]
     )
     color = jnp.where(sky_mask[..., None], sky_rgb, color)
@@ -429,7 +434,7 @@ def _skydome_analytic(scene, view, depth, color, show_env, height, width,
     sky_rgb = gamma_correct(
         sample_base(
             scene.sky_tex, jnp.zeros(px.shape, jnp.int32), uv,
-            config.background_size,
+            config.background_size, quad=True,
         )[..., :3]
     )
     color = jnp.where(sky_mask[..., None], sky_rgb, color)
@@ -621,7 +626,7 @@ def render_rows(
         bg_rgb = gamma_correct(
             sample_base(
                 scene.bg_tex, jnp.zeros((height, width), jnp.int32), uv,
-                config.background_size,
+                config.background_size, quad=True,
             )[..., :3]
         )
         bg_mask = (depth >= 1.0) & show_env

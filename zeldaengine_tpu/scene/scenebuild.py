@@ -120,9 +120,9 @@ class GpuScene(NamedTuple):
     # texture's texel at once.
     mat_combined: jnp.ndarray  # (M,) int32 -> combined_atlas layer
     combined_atlas: jnp.ndarray  # (Mc, S, 2S, 208) bf16 (mip-pair-packed)
-    cube_atlas: jnp.ndarray  # (6, Sc, 2Sc, 52) mip-pair sky cubemap faces
-    sky_tex: jnp.ndarray  # (1, Ss, 2Ss, 52) mip-pair skydome equirect tex
-    bg_tex: jnp.ndarray  # (1, Sb, 2Sb, 52) mip-pair background texture
+    cube_atlas: jnp.ndarray  # (6, Sc, Sc/2, 64) quad-packed cubemap faces
+    sky_tex: jnp.ndarray  # (1, Ss, Ss/2, 64) quad-packed skydome equirect
+    bg_tex: jnp.ndarray  # (1, Sb, Sb/2, 64) quad-packed background texture
 
     # skydome mesh (inside-out sphere; Content/Models/skydome.obj analogue)
     sky_pos: jnp.ndarray  # (Vs, 3)
@@ -512,7 +512,7 @@ class SceneBuilder:
         # footprint (2x2 at level l + 3x3 at l+1).
         from zeldaengine_tpu.ops.texture import (
             build_mip_pair_atlas as _bmp,
-            build_packed_mip_atlas as _bma,
+            build_quad_packed_atlas as _bma,
         )
 
         combo_cache = {}
@@ -561,12 +561,14 @@ class SceneBuilder:
             tri_meta=jnp.asarray(tri_meta),
             mat_combined=jnp.asarray(mat_combined),
             combined_atlas=jnp.asarray(combined_atlas, jnp.bfloat16),
-            # Cube/sky/background stay 2x2-packed: sky/bg only ever
-            # sample mip 0 (sample_base), and the cube's mip-pair variant
-            # measured SLOWER (78 MB gather table vs 24 MB beats the
-            # saved second tap). bf16 storage halves table bytes; 8-bit
-            # texture sources carry less precision than bf16 keeps, and
-            # samplers cast fetched texels back to f32 before filtering.
+            # Cube/sky/background are quad-packed 2x2 (4 x-adjacent
+            # bases per 64-ch row): sky/bg only ever sample mip 0, and
+            # the cube's mip-pair variant measured SLOWER than two taps
+            # (78 MB gather table); quad rows instead cut the table's ROW
+            # COUNT 4x, which is what TPU gather cost follows. bf16
+            # storage halves table bytes; 8-bit texture sources carry
+            # less precision than bf16 keeps, and samplers cast fetched
+            # texels back to f32 before filtering.
             cube_atlas=jnp.asarray(_bma(self.cube_faces), jnp.bfloat16),
             sky_tex=jnp.asarray(_bma(self.sky_image[None]), jnp.bfloat16),
             bg_tex=jnp.asarray(_bma(self.bg_image[None]), jnp.bfloat16),
