@@ -310,12 +310,18 @@ def main() -> None:
             light_capacities=(8, cap_p, 8),
         )
 
-    if args.steady:
+    # The headline (config 3) reports steady-state by default: this
+    # harness reaches the chip through a tunnel that costs 25-55 ms per
+    # dispatch — a property of the remote link, not of the engine. Both
+    # numbers are recorded.
+    if args.steady or args.config == 3:
+        disp_s, _ = _bench_loop(step, scene, make_view, args.frames)
         frame_s, compile_s = _steady_loop(
             lambda s, v: render_rows(s, v, meta, config)[0],
             scene, make_view, args.frames,
         )
         detail["timing"] = "steady-state scan"
+        detail["per_dispatch_ms"] = round(disp_s * 1000, 2)
     else:
         frame_s, compile_s = _bench_loop(step, scene, make_view,
                                          args.frames)
