@@ -17,6 +17,7 @@ AFTER the dynamic model matrix (BaseInstanced.vert:74).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import List, NamedTuple, Optional
 
 import numpy as np
@@ -24,6 +25,11 @@ import jax.numpy as jnp
 
 from zeldaengine_tpu.config import EngineConfig
 from zeldaengine_tpu.scene.mesh import Mesh, make_sphere
+
+# Packed+uploaded texture atlases, keyed by content hash (see
+# SceneBuilder.build.cached_atlas). Shared across scene rebuilds so
+# livelink reloads that keep textures pay neither packing nor upload.
+_DEVICE_ATLAS_CACHE: dict = {}
 
 
 def _morton3(q: np.ndarray) -> np.ndarray:
@@ -515,6 +521,23 @@ class SceneBuilder:
             build_quad_packed_atlas as _bma,
         )
 
+        # Device-resident atlas cache: packing (the 13-group mip-pair
+        # expansion is seconds of NumPy at 256^2) and the device upload
+        # (~90 MB of atlases; the tunnel moves ~100 MB/s) dominate
+        # livelink reload latency, and texture content rarely changes
+        # between reloads. Keyed by content hash; bounded LRU-ish.
+        def cached_atlas(kind, images, build_fn, dtype=jnp.bfloat16):
+            key = (kind, images.shape, str(dtype),
+                   hashlib.md5(np.ascontiguousarray(images)).hexdigest())
+            hit = _DEVICE_ATLAS_CACHE.get(key)
+            if hit is None:
+                hit = jnp.asarray(build_fn(images), dtype)
+                while len(_DEVICE_ATLAS_CACHE) >= 8:
+                    _DEVICE_ATLAS_CACHE.pop(
+                        next(iter(_DEVICE_ATLAS_CACHE)))
+                _DEVICE_ATLAS_CACHE[key] = hit
+            return hit
+
         combo_cache = {}
         mat_combined = np.zeros((mats.shape[0],), np.int32)
         combined_imgs = []
@@ -531,7 +554,8 @@ class SceneBuilder:
                 combined_imgs.append(img16)
                 combo_cache[key] = len(combined_imgs) - 1
             mat_combined[mi] = combo_cache[key]
-        combined_atlas = _bmp(np.stack(combined_imgs))
+        combined_atlas = cached_atlas(
+            "combined", np.stack(combined_imgs), _bmp)
 
         pair_static = np.zeros((p_cap, 8), np.float32)
         pair_static[:n_pairs, 0:2] = pair_uv
@@ -560,7 +584,7 @@ class SceneBuilder:
             pair_static=jnp.asarray(pair_static),
             tri_meta=jnp.asarray(tri_meta),
             mat_combined=jnp.asarray(mat_combined),
-            combined_atlas=jnp.asarray(combined_atlas, jnp.bfloat16),
+            combined_atlas=combined_atlas,
             # Cube/sky/background are quad-packed 2x2 (4 x-adjacent
             # bases per 64-ch row): sky/bg only ever sample mip 0, and
             # the cube's mip-pair variant measured SLOWER than two taps
@@ -569,9 +593,9 @@ class SceneBuilder:
             # storage halves table bytes; 8-bit texture sources carry
             # less precision than bf16 keeps, and samplers cast fetched
             # texels back to f32 before filtering.
-            cube_atlas=jnp.asarray(_bma(self.cube_faces), jnp.bfloat16),
-            sky_tex=jnp.asarray(_bma(self.sky_image[None]), jnp.bfloat16),
-            bg_tex=jnp.asarray(_bma(self.bg_image[None]), jnp.bfloat16),
+            cube_atlas=cached_atlas("cube", self.cube_faces, _bma),
+            sky_tex=cached_atlas("sky", self.sky_image[None], _bma),
+            bg_tex=cached_atlas("bg", self.bg_image[None], _bma),
             sky_pos=jnp.asarray(sky.positions),
             sky_uv=jnp.asarray(sky.uvs),
             sky_tri=jnp.asarray(sky.indices),
