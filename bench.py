@@ -173,10 +173,13 @@ def main() -> None:
         metric, unit, target = "instanced+PCF 1024px frames/sec", "fps", 60.0
 
     elif args.config == 4:
+        # pair_expand=4: meshlet triangles are tiny on screen (a bbox
+        # covering >4 tiles is rare), and pair-binning prep (T*E keys to
+        # sort + gather) scales linearly with the cap at T~1M.
         config = EngineConfig(width=1024, height=1024, shadowmap_dim=512,
                               texture_size=128, cubemap_size=64,
                               background_size=128, max_point_lights=8,
-                              tri_chunk=512)
+                              pair_expand=4)
         from zeldaengine_tpu.meshlet import build_meshlets
         from zeldaengine_tpu.scene.mesh import make_sphere
 
