@@ -26,8 +26,11 @@ TPU-shaped schedule:
   reductions hit a slow VPU path; the all-f32 packing stays on the fast
   one and costs < 1.6e-5 depth quantization, below raster tolerance.
 
-Depth is a single linear form per triangle (z/w is screen-linear):
-``zrow = sum_i zc_i * edge_i`` folded at setup time.
+Depth is evaluated in barycentric form, ``d = sum_i e_i * zc_i`` — the
+algebraically-equivalent folded screen-linear form (``px*zr0 + py*zr1 +
+zr2``) catastrophically cancels near z ~ 1 (measured ~1e-3 error on
+shadow maps, where projections pack depth near the far plane), while the
+edge values e_i are O(1) and condition the sum well.
 """
 
 from __future__ import annotations
@@ -84,12 +87,11 @@ def build_pairs(
     n_tiles = n_ty * n_tx
     y0f = jnp.asarray(y0_tiles, jnp.float32)
 
-    zrow = jnp.einsum("ti,tij->tj", setup.zc, edge,
-                      precision=jax.lax.Precision.HIGHEST)
     never = jnp.zeros((16,), jnp.float32).at[2].set(-1.0).at[5].set(-1.0) \
         .at[8].set(-1.0)
     rec = jnp.concatenate(
-        [edge.reshape(t, 9), zrow, jnp.zeros((t, 4), jnp.float32)], axis=1
+        [edge.reshape(t, 9), setup.zc, jnp.zeros((t, 4), jnp.float32)],
+        axis=1,
     )
     rec = jnp.where(setup.valid[:, None], rec, never[None, :])
     rec16 = jnp.concatenate([rec, never[None, :]], axis=0)  # row t = dead
@@ -263,7 +265,12 @@ def _pair_kernel(
                 e0 = form(0)
                 e1 = form(3)
                 e2 = form(6)
-                d = form(9)
+                # Barycentric depth: rows 9-11 hold zc (see module doc).
+                d = (
+                    e0 * scratch_ref[slot, 9:10, :]
+                    + e1 * scratch_ref[slot, 10:11, :]
+                    + e2 * scratch_ref[slot, 11:12, :]
+                )
                 esum = e0 + e1 + e2
                 inside = (
                     (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)

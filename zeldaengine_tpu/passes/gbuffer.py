@@ -62,10 +62,14 @@ def surface_attributes(
     covered = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
-    # ONE 64-wide record gather per pixel: edge coefficients (9), bitcast
-    # triangle meta (material id), and all three corners' interpolants
-    # (uv2+color3 static, world pos 3 + world normal 3) packed per triangle
-    # on the (cheap, O(T)) host side of the frame.
+    # ONE 64-wide record gather per pixel: edge coefficients (9), the
+    # material id AS A FLOAT VALUE (0.0-63.0 — NOT a bitcast: ids 1..63
+    # bitcast to f32 denormals, and the TPU flushes denormals to zero
+    # somewhere in this record's concat/gather pipeline, which silently
+    # remapped every non-zero material to material 0 on real hardware),
+    # and all three corners' interpolants (uv2+color3 static, world pos 3
+    # + world normal 3) packed per triangle on the (cheap, O(T)) host
+    # side of the frame.
     n_t = setup.edge.shape[0]
     pair_all = jnp.concatenate(
         [
@@ -79,9 +83,7 @@ def surface_attributes(
     rec = jnp.concatenate(
         [
             setup.edge.reshape(n_t, 9),
-            jax.lax.bitcast_convert_type(
-                scene.tri_meta[:n_t, 3:4], jnp.float32
-            ),
+            scene.tri_meta[:n_t, 3:4].astype(jnp.float32),
             corners.reshape(n_t, 33),
             jnp.zeros((n_t, 21), jnp.float32),
         ],
@@ -89,13 +91,18 @@ def surface_attributes(
     )  # (T, 64)
     r = rec[tid]  # (H, W, 64)
     edge = r[..., :9].reshape(height, width, 3, 3)
-    mat_id = jax.lax.bitcast_convert_type(r[..., 9], jnp.int32)
+    mat_id = jnp.round(r[..., 9]).astype(jnp.int32)
     corner_px = r[..., 10:43].reshape(height, width, 3, 11)
 
     px, py = _pixel_grid(height, width, y0=y0)
     u = edge[..., 0] * px[..., None] + edge[..., 1] * py[..., None] + edge[..., 2]
     esum = jnp.sum(u, axis=-1)
     inv = 1.0 / jnp.where(jnp.abs(esum) > 1e-20, esum, 1.0)
+    # Uncovered pixels interpolate record[0] evaluated far outside the
+    # triangle: 1/esum amplifies sub-ULP backend differences into visible
+    # garbage in debug views and the PCF inputs. Zero the weights instead
+    # (deterministic black; the lit path masks these pixels anyway).
+    inv = jnp.where(covered, inv, 0.0)
     bary = u * inv[..., None]  # (H, W, 3)
     # d(bary)/dx = (A_x - bary * sum(A_x)) / esum  (quotient rule)
     ax = edge[..., 0]
