@@ -70,11 +70,15 @@ def test_details_roundtrip_camera(engine):
 
 
 def test_edit_light_changes_next_frame(engine):
+    engine.tick()
     before = engine.tick()
     reply = editor_request(
         {"Command": "SetDetails", "Target": "DirectionalLight/0",
          "Values": {"intensity": 0.0}}, port=PORT)
     assert reply["Status"] == "ok" and "intensity" in reply["Applied"]
+    engine.tick()  # renders the edit; tick RETURNS the pipelined previous
+    # frame (frames_in_flight=2, the reference's MAX_FRAMES_IN_FLIGHT —
+    # edits present one frame later, like any real swapchain)
     after = engine.tick()
     assert float(np.mean(after)) < float(np.mean(before)) - 1.0  # u8 scale
     editor_request({"Command": "SetDetails", "Target": "DirectionalLight/0",

@@ -1,7 +1,11 @@
 """End-to-end engine drive (requires a live backend; run from repo root):
 livelink world load, editor protocol, tick loop, debug views, material
 overrides. Usage: python tools/engine_smoke.py"""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

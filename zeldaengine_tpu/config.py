@@ -21,6 +21,12 @@ class EngineConfig:
     width: int = 1920
     height: int = 1080
 
+    # MAX_FRAMES_IN_FLIGHT (ZeldaEngine.cpp:77): with 2, Engine.tick
+    # returns the PREVIOUS frame while the current one renders, so the
+    # host round trip overlaps the device render (one frame of latency —
+    # the reference's swapchain pipelining). 1 = synchronous present.
+    frames_in_flight: int = 2
+
     # Shadow map (ZeldaEngine.cpp:87) and PCF kernel radius (Base.frag:67)
     shadowmap_dim: int = 1024
     pcf_radius: int = 2

@@ -92,6 +92,7 @@ class Engine:
         # data race here, ZeldaEngine.cpp:1683-1688 vs :1943).
         self.lock = threading.RLock()
         self._needs_rebuild = False
+        self._inflight = None  # previous frame's device image (pipelining)
 
         self.server: Optional[LivelinkServer] = None
         if livelink_port is not None:
@@ -137,6 +138,7 @@ class Engine:
                 and key == getattr(self, "_scene_key", None):
             return
         self._scene_key = key
+        self._inflight = None  # drop pipelined frame (shapes may change)
         t0 = time.time()
         self.scene, self.meta = build_scene_from_world(
             self.world, self.config, roots=self.asset_roots
@@ -260,8 +262,17 @@ class Engine:
         color, _aux = render_frame(self.scene, view, self.meta, self.config)
         # Present: quantize to u8 on device (the 8-bit swapchain analogue),
         # then fetch — fetching f32 frames over a tunneled backend costs
-        # ~4x more wire time for no benefit.
-        img = np.asarray(_present_u8(color))
+        # ~4x more wire time for no benefit. With frames_in_flight > 1
+        # (MAX_FRAMES_IN_FLIGHT 2, ZeldaEngine.cpp:77) the fetch is of the
+        # PREVIOUS frame while this one renders: dispatch latency and the
+        # device render overlap, at one frame of latency — exactly the
+        # reference's swapchain pipelining.
+        device_img = _present_u8(color)
+        if self.config.frames_in_flight > 1:
+            prev, self._inflight = self._inflight, device_img
+            img = np.asarray(prev if prev is not None else device_img)
+        else:
+            img = np.asarray(device_img)
         frame_s = time.time() - t0
         self.stats.frame_index += 1
         self.stats.frame_ms = frame_s * 1000.0
