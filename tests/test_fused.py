@@ -1,0 +1,119 @@
+"""Fused raster+interpolate kernel vs the jnp gather path (interpret mode).
+
+The fused kernel (ops/rasterize_pallas.rasterize_pairs_fused) must produce
+the SAME visibility buffer as rasterize_pairs and the SAME interpolated
+surface attributes as passes.gbuffer.surface_attributes — it only changes
+WHERE the work happens (in-kernel record fetch + interpolation instead of
+an (H, W, 64) XLA gather + interpolation pass).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zeldaengine_tpu.config import TEST_CONFIG
+from zeldaengine_tpu.math.transforms import apply_mat4_h, apply_mat4_point
+from zeldaengine_tpu.ops import pbr
+from zeldaengine_tpu.ops.rasterize import triangle_setup
+from zeldaengine_tpu.ops.rasterize_pallas import (
+    build_pairs,
+    rasterize_pairs,
+    rasterize_pairs_fused,
+    ATTR_CH,
+)
+from zeldaengine_tpu.passes.gbuffer import (
+    surface_attributes,
+    surface_attributes_from_planes,
+)
+from zeldaengine_tpu.passes.view import build_view_state
+from zeldaengine_tpu.scene import make_cube, make_plane
+from zeldaengine_tpu.scene.scenebuild import SceneBuilder
+from zeldaengine_tpu.scene.world import CameraDesc, World
+
+
+@pytest.fixture(scope="module")
+def fused_setup():
+    cfg = TEST_CONFIG
+    b = SceneBuilder(cfg)
+    c = (np.indices((cfg.texture_size,) * 2).sum(0) // 4 % 2).astype(
+        np.float32
+    )
+    img = np.stack([0.2 + 0.5 * c, 0.3 + 0.3 * c, 0.8 - 0.6 * c,
+                    np.ones_like(c)], -1)
+    mat = b.add_material({0: img})
+    b.add_object(make_plane(4.0), b.add_material({}), deferred=True)
+    b.add_object(make_cube(1.0, center=(0, 0, 0.5)), mat, deferred=True)
+    scene, meta = b.build()
+    w = World()
+    w.main_camera = CameraDesc(
+        position=np.array([3.0, -3.0, 2.5], np.float32),
+        lookat=np.array([0.0, 0.0, 0.5], np.float32),
+    )
+    view = build_view_state(w, cfg, light_capacities=(2, 2, 2))
+
+    world = apply_mat4_point(view.model, scene.pair_pos)
+    n1 = apply_mat4_point(view.model, pbr.normalize(scene.pair_nrm))
+    import jax
+
+    n_world = jnp.einsum(
+        "pij,pj->pi", scene.rot_table[scene.pair_rot], n1,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    clip = apply_mat4_h(view.view_proj, world)
+    setup = triangle_setup(
+        clip[scene.tri_vtx], cfg.width, cfg.height,
+        two_sided=scene.tri_two_sided,
+        valid_mask=scene.tri_valid & scene.tri_deferred,
+    )
+    return cfg, scene, setup, world, n_world
+
+
+def _fused_run(cfg, scene, setup, world, n_world):
+    from zeldaengine_tpu.passes.frame import _fused_extra
+
+    extra = _fused_extra(scene, setup, world, n_world)
+    pairs = build_pairs(setup, cfg.width, cfg.height, cfg.tile_h,
+                        cfg.tile_w, expand=cfg.pair_expand, extra=extra)
+    return rasterize_pairs_fused(
+        pairs, cfg.height, cfg.width, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        sub_rows=cfg.sub_rows, texture_size=cfg.texture_size,
+        interpret=True,
+    )
+
+
+def test_fused_matches_plain_visibility(fused_setup):
+    cfg, scene, setup, world, n_world = fused_setup
+    pairs16 = build_pairs(setup, cfg.width, cfg.height, cfg.tile_h,
+                          cfg.tile_w, expand=cfg.pair_expand)
+    depth_p, tid_p = rasterize_pairs(
+        pairs16, cfg.height, cfg.width, tile_h=cfg.tile_h,
+        tile_w=cfg.tile_w, sub_rows=cfg.sub_rows, interpret=True,
+    )
+    depth_f, tid_f, _ = _fused_run(cfg, scene, setup, world, n_world)
+    np.testing.assert_array_equal(np.asarray(tid_f), np.asarray(tid_p))
+    np.testing.assert_allclose(np.asarray(depth_f), np.asarray(depth_p),
+                               atol=1e-7)
+
+
+def test_fused_attrs_match_gather_path(fused_setup):
+    cfg, scene, setup, world, n_world = fused_setup
+    depth_f, tid_f, planes = _fused_run(cfg, scene, setup, world, n_world)
+    assert planes.shape == (ATTR_CH, cfg.height, cfg.width)
+
+    attrs_j = surface_attributes(scene, setup, tid_f, world, n_world, cfg)
+    attrs_f = surface_attributes_from_planes(scene, planes, cfg)
+
+    cov = np.asarray(attrs_j.covered)
+    np.testing.assert_array_equal(np.asarray(attrs_f.covered), cov)
+    for name in ("world_pos", "normal", "vertex_color", "base_color",
+                 "metallic", "roughness", "ao", "emissive", "mask"):
+        a = np.asarray(getattr(attrs_f, name))
+        b = np.asarray(getattr(attrs_j, name))
+        np.testing.assert_allclose(
+            a[cov], b[cov], atol=2e-4, rtol=2e-4,
+            err_msg=f"fused attrs mismatch in {name}",
+        )
+    # Uncovered pixels must be deterministic zeros in the interp outputs
+    # (the jnp path zeroes bary weights; the fused kernel never
+    # accumulates a record for them).
+    assert np.all(np.asarray(attrs_f.world_pos)[~cov] == 0.0)

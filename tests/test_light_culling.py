@@ -78,7 +78,7 @@ def test_tile_cull_lists_are_sane(rng):
     world = _world(70, rng)
     view = build_view_state(world, CONFIG, light_capacities=(2, 96, 2),
                             animate_point_lights=False)
-    tile_idx, tile_cnt = cull_point_lights_tiled(
+    tile_idx, tile_cnt, _drops = cull_point_lights_tiled(
         view.point_lights, view.lights_count[1], view, CONFIG.width,
         CONFIG.height, CONFIG.light_tile_h, CONFIG.light_tile_w,
         CONFIG.max_tile_lights,

@@ -113,3 +113,47 @@ def test_pcf_packed_nonsquare_scale(rng):
         exact = compute_pcf(sm, sc, radius=radius, scale=scale)
         packed = compute_pcf_packed(sm, sc, radius=radius, scale=scale)
         np.testing.assert_array_equal(np.asarray(packed), np.asarray(exact))
+
+
+def test_pcf_window1_matches_exact(rng):
+    """compute_pcf_window1 (one-gather 2-D window table) must be
+    tap-for-tap identical to compute_pcf, including grazing footprints and
+    wrap regions (the window table wrap-pads both axes)."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.shadow import compute_pcf, compute_pcf_window1
+
+    dim = 128
+    sm = jnp.asarray(rng.rand(dim, dim).astype(np.float32))
+    h, w = 32, 128
+    u = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    v = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    z = rng.rand(h, w).astype(np.float32)
+    sc = jnp.stack(
+        [jnp.asarray(u), jnp.asarray(v), jnp.asarray(z), jnp.ones((h, w))],
+        -1,
+    )
+    exact = compute_pcf(sm, sc)
+    win1 = compute_pcf_window1(sm, sc)
+    np.testing.assert_array_equal(np.asarray(win1), np.asarray(exact))
+
+
+def test_pcf_window1_nonsquare_scale(rng):
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.shadow import compute_pcf, compute_pcf_window1
+
+    sm = jnp.asarray(rng.rand(64, 64).astype(np.float32))
+    sc = jnp.stack(
+        [
+            jnp.asarray(rng.rand(16, 16).astype(np.float32)),
+            jnp.asarray(rng.rand(16, 16).astype(np.float32)),
+            jnp.asarray(rng.rand(16, 16).astype(np.float32)),
+            jnp.ones((16, 16)),
+        ],
+        -1,
+    )
+    for radius, scale in ((1, 1.0), (2, 1.5), (3, 2.0)):
+        exact = compute_pcf(sm, sc, radius=radius, scale=scale)
+        win1 = compute_pcf_window1(sm, sc, radius=radius, scale=scale)
+        np.testing.assert_array_equal(np.asarray(win1), np.asarray(exact))

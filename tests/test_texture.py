@@ -58,8 +58,10 @@ def test_pair_matches_plain_trilinear(rng):
 
 
 def test_pair_matches_packed_2x2(rng):
-    """The legacy 2x2-packed path and the pair path agree (both remain in
-    use: cube/sky/bg atlases are 2x2-packed, materials are mip-pair)."""
+    """The 2x2-packed path and the pair path agree (both layouts remain
+    in use: cube/sky/bg atlases are QUAD-packed — 4 x-adjacent 2x2 bases
+    fused per row, sampled with quad=True — materials are mip-pair; this
+    test exercises the plain 2x2 packing both derive from)."""
     imgs = _images(rng)
     packed = jnp.asarray(build_packed_mip_atlas(imgs))
     pair = jnp.asarray(build_mip_pair_atlas(imgs))

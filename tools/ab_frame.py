@@ -1,0 +1,129 @@
+"""A/B harness: steady-state full-frame timing across config variants.
+
+Builds the reference-scale demo scene once, then measures render_rows
+under each named EngineConfig variant with the in-jit scan-differencing
+protocol (the only trustworthy timing on the tunneled backend — see
+BASELINE.md). Usage:
+
+    python tools/ab_frame.py --variants base,pcf_window1 --frames 6
+    python tools/ab_frame.py --list
+
+Variants are defined in VARIANTS below; add entries as experiments are
+designed. Each line of output is one variant's steady-state ms/frame.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+VARIANTS = {
+    "base": {},
+    "pcf_window1": {"pcf_backend": "window1"},
+    "pcf_exact": {"pcf_backend": "exact"},
+    "expand16": {"pair_expand": 16},
+    "expand32": {"pair_expand": 32},
+    "tile16": {"tile_h": 16},
+    "tile64": {"tile_h": 64},
+    "subrows4": {"sub_rows": 4},
+    "subrows16": {"sub_rows": 16},
+    "subrows32": {"sub_rows": 32},
+    "lighttiles": {"light_tile_always": True},
+    "fused": {"raster": "fused"},
+    "fused_pcf1": {"raster": "fused", "pcf_backend": "window1"},
+}
+
+
+def steady_ms(render, scene, make_view, frames=6, reps=4):
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    views = [make_view(i) for i in range(2)]
+    vstack = jtu.tree_map(lambda *xs: jnp.stack(xs), *views)
+    compile_s = [0.0]
+
+    def run(n):
+        @jax.jit
+        def f(scene, vstack):
+            def body(c, i):
+                v = jtu.tree_map(lambda x: x[i % 2], vstack)
+                v = v._replace(time=v.time + c * 1e-12)
+                img = render(scene, v)
+                return c + jnp.sum(img) * 1e-9, 0.0
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return c
+
+        t0 = time.time()
+        float(f(scene, vstack))
+        compile_s[0] += time.time() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(f(scene, vstack))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    t1, t2 = run(1), run(max(frames, 2))
+    return (t2 - t1) / (max(frames, 2) - 1) * 1000.0, compile_s[0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", type=str, default="base")
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--grass", type=int, default=10000)
+    ap.add_argument("--rocks", type=int, default=65)
+    ap.add_argument("--lights", type=int, default=16)
+    ap.add_argument("--list", action="store_true")
+    args = ap.parse_args()
+
+    if args.list:
+        for k, v in VARIANTS.items():
+            print(k, v)
+        return
+
+    from zeldaengine_tpu.config import EngineConfig
+    from zeldaengine_tpu.passes.frame import render_rows
+    from zeldaengine_tpu.passes.view import build_view_state
+    from zeldaengine_tpu.scene.demo import build_demo_scene
+
+    base = EngineConfig(width=1920, height=1080)
+    t0 = time.time()
+    scene, meta, world = build_demo_scene(base, grass=args.grass,
+                                          rocks=args.rocks)
+    print(f"# scene build {time.time()-t0:.1f}s "
+          f"tris={meta.num_triangles}", flush=True)
+
+    def make_view(i):
+        return build_view_state(world, base, time=i / 60.0,
+                                roll_light=i * 0.02,
+                                light_capacities=(8, 16, 8))
+
+    for name in args.variants.split(","):
+        over = dict(VARIANTS[name])
+        over.pop("light_tile_always", None)  # handled via config field
+        cfg = base.replace(**over) if over else base
+        if "light_tile_always" in VARIANTS[name]:
+            cfg = cfg.replace(light_tile_always=True)
+        try:
+            ms, comp = steady_ms(
+                lambda s, v, cfg=cfg: render_rows(s, v, meta, cfg)[0],
+                scene, make_view, frames=args.frames,
+            )
+            print(json.dumps({"variant": name, "ms": round(ms, 1),
+                              "compile_s": round(comp, 1)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"variant": name, "error": repr(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,16 @@ class EngineConfig:
     light_tile_h: int = 8
     light_tile_w: int = 128
 
+    # Pad light tables to next_pow2(count) instead of the full capacity
+    # (the unrolled light loop costs per capacity SLOT; see view.py).
+    adaptive_light_capacity: bool = True
+
+    # Validation mode (the VK_LAYER_KHRONOS_validation analogue,
+    # ZeldaEngine.cpp:799-829): per-frame NaN/inf + silent-drop counters
+    # in aux["validation"] / FrameStats.validation. Static flag: off =
+    # zero cost, on = recompile (like a Vulkan debug build).
+    validation: bool = False
+
     # zFar sentinel for empty depth buffer
     depth_clear: float = 1.0
 

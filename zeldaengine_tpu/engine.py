@@ -53,6 +53,9 @@ class FrameStats:
     # Per-pass ms breakdown; filled by Engine.profile_passes() (the
     # tracing subsystem the reference lacks, SURVEY.md §5 row 1).
     pass_ms: dict = dataclasses.field(default_factory=dict)
+    # Validation counters (EngineConfig.validation=True): nonfinite
+    # pixels, tile light-cull drops, oversized (global-bucket) triangles.
+    validation: dict = dataclasses.field(default_factory=dict)
 
 
 class Engine:
@@ -118,15 +121,20 @@ class Engine:
     def _scene_content_key(self) -> str:
         """World content that affects the built scene: everything except
         the camera (which only feeds the per-frame ViewState) and light
-        VALUES (also per-frame)."""
+        VALUES (also per-frame) — plus the mtimes of every on-disk asset
+        the build would read, so editing a texture/OBJ and re-pushing an
+        identical world still refreshes the scene."""
         import json
+
+        from zeldaengine_tpu.scene.assets import scene_asset_fingerprint
 
         doc = self.world.to_json()
         doc.pop("MainCamera", None)
         doc.pop("DirectionalLights", None)
         doc.pop("PointLights", None)
         doc.pop("SpotLights", None)
-        return json.dumps(doc, sort_keys=True)
+        assets = scene_asset_fingerprint(self.world, self.asset_roots)
+        return json.dumps(doc, sort_keys=True) + "|" + assets
 
     def _rebuild_scene(self, force: bool = False) -> None:
         # Streamed reloads that only move the camera/lights keep the same
@@ -199,6 +207,20 @@ class Engine:
         self.roll_light = 0.0
         self._start_time = time.time()
 
+    def resize(self, width: int, height: int) -> None:
+        """Runtime resolution change — the RecreateSwapChain analogue
+        (ZeldaEngine.cpp:2311-2335). The config is a static jit argument,
+        so the swap re-jits render_frame at the new resolution on the
+        next tick (jax caches executables per config: switching back is
+        instant, like the reference's per-variant VkPipelineCache).
+        In-flight pipelined frames are dropped (their shape is stale) —
+        the reference's full-fence wait before RecreateSwapChain."""
+        if (width, height) == (self.config.width, self.config.height):
+            return
+        with self.lock:
+            self.config = self.config.replace(width=width, height=height)
+            self._inflight = None
+
     def profile_passes(self, reps: int = 3) -> dict:
         """Per-pass ms breakdown of the current scene/view; stores the
         result in ``stats.pass_ms`` and returns it."""
@@ -260,6 +282,15 @@ class Engine:
         )
         t0 = time.time()
         color, _aux = render_frame(self.scene, view, self.meta, self.config)
+        if self.config.validation and "validation" in _aux:
+            # Surface the validation counters (GetStats / log on trip).
+            self.stats.validation = {
+                k: int(v) for k, v in _aux["validation"].items()
+            }
+            tripped = {k: v for k, v in self.stats.validation.items()
+                       if v != 0}
+            if tripped:
+                LOG.warning("[VALIDATION] %s", tripped)
         # Present: quantize to u8 on device (the 8-bit swapchain analogue),
         # then fetch — fetching f32 frames over a tunneled backend costs
         # ~4x more wire time for no benefit. With frames_in_flight > 1

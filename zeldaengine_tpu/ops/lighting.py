@@ -132,6 +132,8 @@ def cull_point_lights_tiled(
     tile_h: int,
     tile_w: int,
     k_max: int,
+    y0=0.0,
+    vp_h: int | None = None,
 ):
     """Per-screen-tile point-light lists: conservative projected-sphere vs
     tile-rect binning + top-k_max compaction.
@@ -139,8 +141,15 @@ def cull_point_lights_tiled(
     The reference carries a 512-point-light capacity (ZeldaEngine.cpp:85)
     and brute-force loops them per pixel (BaseLighting.frag:182-207); this
     is the tiled-deferred culling that makes that capacity usable.
-    Returns (tile_idx (Ty, Tx, K) int32, tile_cnt (Ty, Tx) int32).
+    ``y0``/``height`` select a row band (full-screen pixel coords; the
+    multi-chip path culls per band so sharded frames keep tiled lighting
+    — round 2 fell back to the 512-iteration per-pixel loop there).
+    ``height`` may be any row count: the tile grid covers ceil(h/tile_h)
+    rows (the shading side pads and crops to match).
+    Returns (tile_idx (Ty, Tx, K) int32, tile_cnt (Ty, Tx) int32,
+    drops () int32 — lights dropped by the per-tile cap).
     """
+    vp_h = height if vp_h is None else vp_h  # full-viewport pixel height
     pos = point_lights[:, 0, :3]
     radius = jnp.maximum(point_lights[:, 2, 3], 0.0)
     clip = (
@@ -149,7 +158,7 @@ def cull_point_lights_tiled(
     w = pos @ view.view_proj[3, :3] + view.view_proj[3, 3]
     safe_w = jnp.maximum(jnp.abs(w), 1e-6)
     cx = (clip[:, 0] / jnp.where(w > 0, safe_w, -safe_w) * 0.5 + 0.5) * width
-    cy = (clip[:, 1] / jnp.where(w > 0, safe_w, -safe_w) * 0.5 + 0.5) * height
+    cy = (clip[:, 1] / jnp.where(w > 0, safe_w, -safe_w) * 0.5 + 0.5) * vp_h
     # Conservative screen radius from the projection's focal length.
     f = 1.0 / jnp.tan(jnp.radians(view.camera_fov) * 0.5)
     aspect = width / height
@@ -157,17 +166,18 @@ def cull_point_lights_tiled(
     ry = radius * f / safe_w * 0.5 * height
     # Behind/crossing the camera plane: keep everywhere (conservative).
     near_cam = w < radius + 0.1
-    x0 = jnp.where(near_cam, 0.0, cx - rx)
-    x1 = jnp.where(near_cam, float(width), cx + rx)
-    y0 = jnp.where(near_cam, 0.0, cy - ry)
-    y1 = jnp.where(near_cam, float(height), cy + ry)
+    lx0 = jnp.where(near_cam, 0.0, cx - rx)
+    lx1 = jnp.where(near_cam, float(width), cx + rx)
+    ly0 = jnp.where(near_cam, 0.0, cy - ry)
+    ly1 = jnp.where(near_cam, float(vp_h), cy + ry)
 
-    n_ty = height // tile_h
+    n_ty = -(-height // tile_h)
     n_tx = width // tile_w
     tx = jnp.arange(n_tx, dtype=jnp.float32) * tile_w
-    ty = jnp.arange(n_ty, dtype=jnp.float32) * tile_h
-    ox = (x1[:, None] >= tx[None, :]) & (x0[:, None] <= tx[None, :] + tile_w)
-    oy = (y1[:, None] >= ty[None, :]) & (y0[:, None] <= ty[None, :] + tile_h)
+    ty = jnp.arange(n_ty, dtype=jnp.float32) * tile_h \
+        + jnp.asarray(y0, jnp.float32)
+    ox = (lx1[:, None] >= tx[None, :]) & (lx0[:, None] <= tx[None, :] + tile_w)
+    oy = (ly1[:, None] >= ty[None, :]) & (ly0[:, None] <= ty[None, :] + tile_h)
     live = jnp.arange(point_lights.shape[0]) < n_point
     mask = (
         oy[:, :, None] & ox[:, None, :] & live[:, None, None]
@@ -176,8 +186,13 @@ def cull_point_lights_tiled(
     # Compact: light indices with hits first (stable order), capped at K.
     order = jnp.argsort(~mask, axis=-1, stable=True)
     tile_idx = order[..., :k_max].astype(jnp.int32)
-    tile_cnt = jnp.minimum(mask.sum(-1), k_max).astype(jnp.int32)
-    return tile_idx, tile_cnt
+    hits = mask.sum(-1)
+    tile_cnt = jnp.minimum(hits, k_max).astype(jnp.int32)
+    # Lights silently dropped by the per-tile cap (validation counter —
+    # the reference's validation-layer analogue surfaces this via
+    # FrameStats when EngineConfig.validation is on).
+    drops = jnp.sum(jnp.maximum(hits - k_max, 0))
+    return tile_idx, tile_cnt, drops
 
 
 def _point_lighting_tiled(
@@ -186,10 +201,23 @@ def _point_lighting_tiled(
 ):
     """Shade each pixel with its tile's culled light list: a fori_loop over
     the K slots; slot k's light parameters are gathered per tile (a few
-    thousand indices) and broadcast over the tile's pixels."""
+    thousand indices) and broadcast over the tile's pixels.
+
+    Row counts that don't divide ``tile_h`` (sharded bands) are padded to
+    the tile grid and cropped after."""
     height, width = diffuse_color.shape[:2]
     n_ty, n_tx = tile_idx.shape[:2]
     k_max = tile_idx.shape[2]
+    pad_rows = n_ty * tile_h - height
+    if pad_rows:
+        def padr(a):
+            return jnp.pad(a, ((0, pad_rows),) + ((0, 0),) * (a.ndim - 1))
+
+        return _point_lighting_tiled(
+            padr(diffuse_color), padr(roughness), padr(n), padr(p),
+            padr(v), padr(ndotv), point_lights, tile_idx, tile_cnt,
+            tile_h, tile_w,
+        )[:height]
 
     def t5(a, c):
         return a.reshape(n_ty, tile_h, n_tx, tile_w, c)

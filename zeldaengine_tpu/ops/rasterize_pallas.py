@@ -72,6 +72,7 @@ def build_pairs(
     tile_w: int,
     expand: int = 8,
     y0_tiles=0,
+    extra: jnp.ndarray | None = None,
 ) -> PairedTriangles:
     """Compact triangles into exact per-tile pair lists (TPU binning).
 
@@ -79,6 +80,11 @@ def build_pairs(
     bigger bboxes fall into one global bucket), pairs are sorted by tile,
     and the records are gathered into pair order — every tile then walks
     a dense, exactly-sized slice range.
+
+    ``extra``: optional (T, E) float32 per-triangle payload columns
+    appended to the 12 rasterization rows (record rows 12..12+E-1,
+    rounded up to a multiple of 16 rows). The fused raster+interpolate
+    kernel uses E=34: material-combo id + 3 corners x 11 interpolants.
     """
     edge = setup.edge
     t = edge.shape[0]
@@ -87,12 +93,17 @@ def build_pairs(
     n_tiles = n_ty * n_tx
     y0f = jnp.asarray(y0_tiles, jnp.float32)
 
-    never = jnp.zeros((16,), jnp.float32).at[2].set(-1.0).at[5].set(-1.0) \
-        .at[8].set(-1.0)
-    rec = jnp.concatenate(
-        [edge.reshape(t, 9), setup.zc, jnp.zeros((t, 4), jnp.float32)],
-        axis=1,
-    )
+    n_extra = 0 if extra is None else extra.shape[1]
+    rec_rows = max(16, ((12 + n_extra + 15) // 16) * 16)
+    never = jnp.zeros((rec_rows,), jnp.float32).at[2].set(-1.0) \
+        .at[5].set(-1.0).at[8].set(-1.0)
+    cols = [edge.reshape(t, 9), setup.zc]
+    if extra is not None:
+        cols.append(extra.astype(jnp.float32))
+    pad_cols = rec_rows - 12 - n_extra
+    if pad_cols:
+        cols.append(jnp.zeros((t, pad_cols), jnp.float32))
+    rec = jnp.concatenate(cols, axis=1)
     rec = jnp.where(setup.valid[:, None], rec, never[None, :])
     rec16 = jnp.concatenate([rec, never[None, :]], axis=0)  # row t = dead
 
@@ -102,11 +113,15 @@ def build_pairs(
     ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h) - y0f, 0, n_ty - 1)
     tx1 = jnp.clip(jnp.ceil(bbox[:, 2] / tile_w) - 1.0, 0, n_tx - 1)
     ty1 = jnp.clip(jnp.ceil(bbox[:, 3] / tile_h) - 1.0 - y0f, 0, n_ty - 1)
-    # Live = valid AND bbox intersects this row band.
+    # Live = valid AND bbox intersects this row band AND overlaps the
+    # screen in x (fully off-screen-left/right triangles would otherwise
+    # clip into the edge tile columns and rasterize for nothing).
     live = (
         setup.valid
         & (bbox[:, 2] > bbox[:, 0])
         & (bbox[:, 3] > bbox[:, 1])
+        & (bbox[:, 2] > 0)
+        & (bbox[:, 0] < width)
         & (bbox[:, 3] / tile_h > y0f)
         & (bbox[:, 1] / tile_h < y0f + n_ty)
     )
@@ -151,9 +166,9 @@ def build_pairs(
     ends = off[1 : n_tiles + 1]
     gbounds = off[n_tiles : n_tiles + 2]
 
-    pair_rec = rec16[stri]  # (P, 16)
+    pair_rec = rec16[stri]  # (P, rec_rows)
     n_slices = pair_rec.shape[0] // 128
-    records = pair_rec.reshape(n_slices, 128, 16).transpose(0, 2, 1)
+    records = pair_rec.reshape(n_slices, 128, rec_rows).transpose(0, 2, 1)
     return PairedTriangles(
         records=records,
         pair_tri=stri,
@@ -163,47 +178,41 @@ def build_pairs(
     )
 
 
-def _pair_kernel(
-    y0_ref,
-    starts_ref,
-    ends_ref,
-    gbounds_ref,
-    records_hbm,
-    init_ref,
-    depth_ref,
-    tid_ref,
-    scratch_ref,
-    sem_ref,
-    *,
-    tile_h: int,
-    tile_w: int,
-    n_tx: int,
-    sub_rows: int,
-    depth_only: bool,
-):
-    t = pl.program_id(0)
+def count_oversized(setup: TriangleSetup, width: int, height: int,
+                    tile_h: int, tile_w: int, expand: int):
+    """Validation counter: triangles whose bbox covers more than
+    ``expand`` tiles (they fall into the global bucket every tile walks
+    — ADVICE r2: a scene full of them degrades toward
+    O(n_tiles * n_big_tris) raster work with no warning)."""
+    bbox = setup.bbox
+    n_tx = -(-width // tile_w)
+    n_ty = -(-height // tile_h)
+    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w), 0, n_tx - 1)
+    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h), 0, n_ty - 1)
+    tx1 = jnp.clip(jnp.ceil(bbox[:, 2] / tile_w) - 1.0, 0, n_tx - 1)
+    ty1 = jnp.clip(jnp.ceil(bbox[:, 3] / tile_h) - 1.0, 0, n_ty - 1)
+    live = (
+        setup.valid
+        & (bbox[:, 2] > bbox[:, 0])
+        & (bbox[:, 3] > bbox[:, 1])
+        & (bbox[:, 2] > 0)
+        & (bbox[:, 0] < width)
+    )
+    ncov = (tx1 - tx0 + 1.0) * (ty1 - ty0 + 1.0)
+    return jnp.sum(live & (ncov > expand)).astype(jnp.int32)
 
-    depth_ref[:, :] = init_ref[:, :]
-    if not depth_only:
-        tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
 
-    ty = t // n_tx
-    tx = t % n_tx
-    base_x = (tx * tile_w).astype(jnp.int32)
-    base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
+def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
+    """Build a double-buffered slice walker over two pair-index ranges.
 
-    n_sub = tile_h // sub_rows
-    p_sub = sub_rows * tile_w
-    lane_f = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 128), 1
-    ).astype(jnp.float32)
-    depth_scale = 65536.0
-    n_slots = 4  # DMA pipeline depth (hides HBM latency across slices)
+    Returns ``walk(lo_a, hi_a, lo_b, hi_b, body)``; ``body(j_slot,
+    c_base, lo, hi)`` is called once per 128-pair slice with the slice
+    resident in ``scratch_ref[j_slot]`` and the active pair window
+    [lo, hi) (boundary slices are shared with neighbor ranges/tiles —
+    the body must mask lanes outside the window). Both ranges ride ONE
+    loop so the DMA pipeline never drains between them."""
 
-    def walk(lo_a, hi_a, lo_b, hi_b):
-        """Raster pair slices covering indices [lo_a, hi_a) u [lo_b, hi_b)
-        — the tile's dense range and the global bucket, as ONE loop so the
-        DMA pipeline never drains between them."""
+    def walk(lo_a, hi_a, lo_b, hi_b, body):
         s0_a = lo_a // 128
         n_a = jnp.where(hi_a > lo_a, (hi_a + 127) // 128 - s0_a, 0)
         s0_b = lo_b // 128
@@ -239,87 +248,148 @@ def _pair_kernel(
             c_base = slice_of(j) * 128
             lo = jnp.where(in_a, lo_a, lo_b)
             hi = jnp.where(in_a, hi_a, hi_b)
-            # Boundary slices are shared with neighbor tiles: mask lanes
-            # whose pair index falls outside the walked range.
-            lane_ok = (
-                (lane_f >= (lo - c_base).astype(jnp.float32))
-                & (lane_f < (hi - c_base).astype(jnp.float32))
-            )
-
-            for sb in range(n_sub):
-                lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
-                px = (base_x + jnp.mod(lin, tile_w)).astype(
-                    jnp.float32
-                ) + 0.5
-                py = (
-                    base_y + sb * sub_rows + lin // tile_w
-                ).astype(jnp.float32) + 0.5
-
-                def form(r):
-                    return (
-                        px * scratch_ref[slot, r : r + 1, :]
-                        + py * scratch_ref[slot, r + 1 : r + 2, :]
-                        + scratch_ref[slot, r + 2 : r + 3, :]
-                    )  # (p_sub, 128)
-
-                e0 = form(0)
-                e1 = form(3)
-                e2 = form(6)
-                # Barycentric depth: rows 9-11 hold zc (see module doc).
-                d = (
-                    e0 * scratch_ref[slot, 9:10, :]
-                    + e1 * scratch_ref[slot, 10:11, :]
-                    + e2 * scratch_ref[slot, 11:12, :]
-                )
-                esum = e0 + e1 + e2
-                inside = (
-                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                    & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
-                ) & lane_ok
-                if depth_only:
-                    cand = jnp.where(inside, d, NO_HIT)
-                    kb_best = jnp.min(cand, axis=1)
-                    cur = depth_ref[
-                        pl.ds(sb * sub_rows, sub_rows), :
-                    ].reshape(p_sub)
-                    depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
-                        jnp.minimum(kb_best, cur).reshape(
-                            sub_rows, tile_w
-                        )
-                    )
-                else:
-                    dq = jnp.floor(d * depth_scale)
-                    key = jnp.where(
-                        inside, dq * 128.0 + lane_f, NO_HIT
-                    )
-                    kmin = jnp.min(key, axis=1)
-                    kq = jnp.floor(kmin * (1.0 / 128.0))
-                    kb_best = jnp.where(
-                        kmin < NO_HIT, kq * (1.0 / depth_scale), NO_HIT
-                    )
-                    kb_id = c_base + (kmin - kq * 128.0).astype(jnp.int32)
-                    cur = depth_ref[
-                        pl.ds(sb * sub_rows, sub_rows), :
-                    ].reshape(p_sub)
-                    take = kb_best < cur
-                    depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
-                        jnp.where(take, kb_best, cur).reshape(
-                            sub_rows, tile_w
-                        )
-                    )
-                    cur_t = tid_ref[
-                        pl.ds(sb * sub_rows, sub_rows), :
-                    ].reshape(p_sub)
-                    tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
-                        jnp.where(take, kb_id, cur_t).reshape(
-                            sub_rows, tile_w
-                        )
-                    )
+            body(slot, c_base, lo, hi)
             return 0
 
         jax.lax.fori_loop(0, n, slice_body, 0)
 
-    walk(starts_ref[t], ends_ref[t], gbounds_ref[0], gbounds_ref[1])
+    return walk
+
+
+def _pair_kernel(
+    y0_ref,
+    starts_ref,
+    ends_ref,
+    gbounds_ref,
+    records_hbm,
+    init_ref,
+    depth_ref,
+    tid_ref,
+    scratch_ref,
+    sem_ref,
+    *,
+    tile_h: int,
+    tile_w: int,
+    n_tx: int,
+    sub_rows: int,
+    depth_only: bool,
+):
+    t = pl.program_id(0)
+
+    depth_ref[:, :] = init_ref[:, :]
+    if not depth_only:
+        tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    ty = t // n_tx
+    tx = t % n_tx
+    base_x = (tx * tile_w).astype(jnp.int32)
+    base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
+
+    n_slots = 4  # DMA pipeline depth (hides HBM latency across slices)
+    walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
+    raster_body = _make_raster_body(
+        scratch_ref, depth_ref, tid_ref, base_x, base_y,
+        tile_h=tile_h, tile_w=tile_w, sub_rows=sub_rows,
+        depth_only=depth_only,
+    )
+    walk(starts_ref[t], ends_ref[t], gbounds_ref[0],
+         gbounds_ref[1], raster_body)
+
+
+def _make_raster_body(scratch_ref, depth_ref, tid_ref, base_x, base_y, *,
+                      tile_h: int, tile_w: int, sub_rows: int,
+                      depth_only: bool):
+    """Build the per-slice raster body (z-test + winner tracking) shared
+    by the plain pair kernel and phase 1 of the fused kernel."""
+    n_sub = tile_h // sub_rows
+    p_sub = sub_rows * tile_w
+    lane_f = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 128), 1
+    ).astype(jnp.float32)
+    depth_scale = 65536.0
+
+    def raster_body(slot, c_base, lo, hi):
+        # Boundary slices are shared with neighbor tiles: mask lanes
+        # whose pair index falls outside the walked range.
+        lane_ok = (
+            (lane_f >= (lo - c_base).astype(jnp.float32))
+            & (lane_f < (hi - c_base).astype(jnp.float32))
+        )
+
+        for sb in range(n_sub):
+            lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
+            px = (base_x + jnp.mod(lin, tile_w)).astype(
+                jnp.float32
+            ) + 0.5
+            py = (
+                base_y + sb * sub_rows + lin // tile_w
+            ).astype(jnp.float32) + 0.5
+
+            def form(r):
+                return (
+                    px * scratch_ref[slot, r : r + 1, :]
+                    + py * scratch_ref[slot, r + 1 : r + 2, :]
+                    + scratch_ref[slot, r + 2 : r + 3, :]
+                )  # (p_sub, 128)
+
+            e0 = form(0)
+            e1 = form(3)
+            e2 = form(6)
+            # Barycentric depth: rows 9-11 hold zc (see module doc).
+            d = (
+                e0 * scratch_ref[slot, 9:10, :]
+                + e1 * scratch_ref[slot, 10:11, :]
+                + e2 * scratch_ref[slot, 11:12, :]
+            )
+            esum = e0 + e1 + e2
+            inside = (
+                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+            ) & lane_ok
+            if depth_only:
+                cand = jnp.where(inside, d, NO_HIT)
+                kb_best = jnp.min(cand, axis=1)
+                cur = depth_ref[
+                    pl.ds(sb * sub_rows, sub_rows), :
+                ].reshape(p_sub)
+                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+                    jnp.minimum(kb_best, cur).reshape(
+                        sub_rows, tile_w
+                    )
+                )
+            else:
+                # Round-to-nearest: halves the quantization bias vs
+                # floor and keeps the vis depth within half a 1/65536
+                # quantum of the (unquantized) depth_only output.
+                dq = jnp.floor(d * depth_scale + 0.5)
+                key = jnp.where(
+                    inside, dq * 128.0 + lane_f, NO_HIT
+                )
+                kmin = jnp.min(key, axis=1)
+                kq = jnp.floor(kmin * (1.0 / 128.0))
+                kb_best = jnp.where(
+                    kmin < NO_HIT, kq * (1.0 / depth_scale), NO_HIT
+                )
+                kb_id = c_base + (kmin - kq * 128.0).astype(jnp.int32)
+                cur = depth_ref[
+                    pl.ds(sb * sub_rows, sub_rows), :
+                ].reshape(p_sub)
+                take = kb_best < cur
+                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+                    jnp.where(take, kb_best, cur).reshape(
+                        sub_rows, tile_w
+                    )
+                )
+                cur_t = tid_ref[
+                    pl.ds(sb * sub_rows, sub_rows), :
+                ].reshape(p_sub)
+                tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+                    jnp.where(take, kb_id, cur_t).reshape(
+                        sub_rows, tile_w
+                    )
+                )
+
+    return raster_body
 
 
 @functools.partial(
@@ -380,7 +450,7 @@ def rasterize_pairs(
             pl.BlockSpec((tile_h, tile_w), tile_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, 16, 128), jnp.float32),
+            pltpu.VMEM((4, pairs.records.shape[1], 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -405,3 +475,257 @@ def rasterize_pairs(
         tid_pair >= 0, pairs.pair_tri[jnp.maximum(tid_pair, 0)], -1
     )
     return depth, tid
+
+
+# ------------------------------------------------------ fused raster+interp
+
+# Record rows for the fused kernel (build_pairs extra=34):
+#   0-8 edge, 9-11 zc, 12 material-combo id (float VALUE — bitcast int ids
+#   1..63 are f32 denormals the TPU flushes to zero), 13-45 corners
+#   (corner k at 13+11k: uv(2) color(3) world-pos(3) world-normal(3)).
+FUSED_EXTRA = 34
+_FETCH_ROWS = tuple(range(0, 9)) + tuple(range(12, 46))
+
+# Output attribute planes of the fused kernel, channel-major (C, H, W):
+#   0 covered, 1 combo, 2-3 uv, 4 lod, 5-7 vertex color, 8-10 world pos,
+#   11-13 interpolated world normal, 14-15 duv/dx, 16-17 duv/dy,
+#   18-20 dpos/dx, 21-23 dpos/dy.
+ATTR_CH = 24
+
+
+def _pair_fused_kernel(
+    y0_ref,
+    starts_ref,
+    ends_ref,
+    gbounds_ref,
+    records_hbm,
+    init_ref,
+    depth_ref,
+    tid_ref,
+    attr_ref,
+    scratch_ref,
+    sem_ref,
+    acc_ref,
+    *,
+    tile_h: int,
+    tile_w: int,
+    n_tx: int,
+    sub_rows: int,
+    texture_size: int,
+):
+    """Phase 1: exact-pair visibility raster (identical to _pair_kernel).
+    Phase 2: re-walk ONLY the slices containing winners (per-range
+    min/max window over the tile's winner pair ids) and fetch each
+    pixel's winning record rows with 128-lane dynamic gathers
+    (tpu.dynamic_gather supports exactly one source vreg along the
+    gather dimension, which a 128-wide record slice is). Then
+    interpolate attributes + analytic screen derivatives per tile in
+    native (tile_h, 128) plane layout — no (H, W, 64) record gather, no
+    XLA-side interpolation pass, no extra HBM round trip.
+    """
+    t = pl.program_id(0)
+
+    depth_ref[:, :] = init_ref[:, :]
+    tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+
+    ty = t // n_tx
+    tx = t % n_tx
+    base_x = (tx * tile_w).astype(jnp.int32)
+    base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
+
+    n_slots = 4
+    walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
+
+    # ---- phase 1: visibility
+    raster_body = _make_raster_body(
+        scratch_ref, depth_ref, tid_ref, base_x, base_y,
+        tile_h=tile_h, tile_w=tile_w, sub_rows=sub_rows, depth_only=False,
+    )
+    walk(starts_ref[t], ends_ref[t], gbounds_ref[0],
+         gbounds_ref[1], raster_body)
+
+    # ---- phase 2: winner-record fetch
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    w = tid_ref[:, :]  # stable after phase 1
+    wf = w.astype(jnp.float32)
+    wsl = jnp.floor(wf * (1.0 / 128.0))  # winner slice ids (exact f32 ints)
+
+    def shrink(lo, hi):
+        """Clamp a pair range to the slices that actually won pixels."""
+        inr = (w >= lo) & (w < hi)
+        smin = jnp.min(jnp.where(inr, wsl, 3.0e7))
+        smax = jnp.max(jnp.where(inr, wsl, -1.0))
+        lo2 = jnp.maximum(lo, (smin * 128.0).astype(jnp.int32))
+        hi2 = jnp.minimum(hi, ((smax + 1.0) * 128.0).astype(jnp.int32))
+        return lo2, hi2
+
+    lo_a, hi_a = shrink(starts_ref[t], ends_ref[t])
+    lo_b, hi_b = shrink(gbounds_ref[0], gbounds_ref[1])
+
+    def attr_body(slot, c_base, lo, hi):
+        rel = w - c_base
+        hit = (w >= lo) & (w < hi) & (rel >= 0) & (rel < 128)
+        relc = jnp.clip(rel, 0, 127)
+        for c in _FETCH_ROWS:
+            row = jnp.broadcast_to(
+                scratch_ref[slot, c : c + 1, :], (tile_h, tile_w)
+            )
+            g = jnp.take_along_axis(row, relc, axis=1)
+            acc_ref[c] = jnp.where(hit, g, acc_ref[c])
+
+    walk(lo_a, hi_a, lo_b, hi_b, attr_body)
+
+    # ---- interpolation + analytic derivatives (plane layout)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    px = (base_x + xi).astype(jnp.float32) + 0.5
+    py = (base_y + yi).astype(jnp.float32) + 0.5
+
+    def A(c):
+        return acc_ref[c]
+
+    e0 = A(0) * px + A(1) * py + A(2)
+    e1 = A(3) * px + A(4) * py + A(5)
+    e2 = A(6) * px + A(7) * py + A(8)
+    covered = w >= 0
+    esum = e0 + e1 + e2
+    inv = 1.0 / jnp.where(jnp.abs(esum) > 1e-20, esum, 1.0)
+    inv = jnp.where(covered, inv, 0.0)
+    b0 = e0 * inv
+    b1 = e1 * inv
+    b2 = e2 * inv
+    sax = A(0) + A(3) + A(6)
+    say = A(1) + A(4) + A(7)
+    d0x = (A(0) - b0 * sax) * inv
+    d1x = (A(3) - b1 * sax) * inv
+    d2x = (A(6) - b2 * sax) * inv
+    d0y = (A(1) - b0 * say) * inv
+    d1y = (A(4) - b1 * say) * inv
+    d2y = (A(7) - b2 * say) * inv
+
+    def interp(off, w0, w1, w2):
+        return w0 * A(13 + off) + w1 * A(24 + off) + w2 * A(35 + off)
+
+    duvdx0 = interp(0, d0x, d1x, d2x)
+    duvdx1 = interp(1, d0x, d1x, d2x)
+    duvdy0 = interp(0, d0y, d1y, d2y)
+    duvdy1 = interp(1, d0y, d1y, d2y)
+    ts = float(texture_size)
+    foot = jnp.maximum(
+        duvdx0 * duvdx0 + duvdx1 * duvdx1,
+        duvdy0 * duvdy0 + duvdy1 * duvdy1,
+    )
+    lod = jnp.maximum(
+        0.5 * jnp.log2(jnp.maximum(foot * (ts * ts), 1e-12)), 0.0
+    )
+
+    attr_ref[0] = covered.astype(jnp.float32)
+    attr_ref[1] = A(12)
+    attr_ref[2] = interp(0, b0, b1, b2)
+    attr_ref[3] = interp(1, b0, b1, b2)
+    attr_ref[4] = lod
+    for c in range(3):  # vertex color
+        attr_ref[5 + c] = interp(2 + c, b0, b1, b2)
+    for c in range(3):  # world pos
+        attr_ref[8 + c] = interp(5 + c, b0, b1, b2)
+    for c in range(3):  # world normal
+        attr_ref[11 + c] = interp(8 + c, b0, b1, b2)
+    attr_ref[14] = duvdx0
+    attr_ref[15] = duvdx1
+    attr_ref[16] = duvdy0
+    attr_ref[17] = duvdy1
+    for c in range(3):  # dpos/dx, dpos/dy
+        attr_ref[18 + c] = interp(5 + c, d0x, d1x, d2x)
+        attr_ref[21 + c] = interp(5 + c, d0y, d1y, d2y)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "tile_h", "tile_w", "sub_rows",
+        "texture_size", "interpret",
+    ),
+)
+def rasterize_pairs_fused(
+    pairs: PairedTriangles,
+    height: int,
+    width: int,
+    init_depth: jnp.ndarray | None = None,
+    tile_h: int = 32,
+    tile_w: int = 128,
+    sub_rows: int = 8,
+    texture_size: int = 256,
+    y0_tiles=0,
+    interpret: bool = False,
+):
+    """Rasterize + interpolate in one kernel.
+
+    ``pairs`` must be built with ``extra`` = (T, 34) fused payload.
+    Returns (depth, tid, attrs) with tid = ORIGINAL triangle ids and
+    attrs = (ATTR_CH, height, width) float32 planes (layout above).
+    """
+    assert tile_w == 128, "fused kernel requires tile_w == 128 (lane LUT)"
+    n_tx = width // tile_w
+    n_ty = height // tile_h
+    n_tiles = n_ty * n_tx
+    assert pairs.starts.shape == (n_tiles,)
+    rec_rows = pairs.records.shape[1]
+    assert rec_rows >= 46, "fused kernel needs wide records (extra=34)"
+    sub_rows = min(sub_rows, tile_h)
+
+    if init_depth is None:
+        init_depth = jnp.ones((height, width), jnp.float32)
+
+    kernel = functools.partial(
+        _pair_fused_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        n_tx=n_tx,
+        sub_rows=sub_rows,
+        texture_size=texture_size,
+    )
+
+    def tile_index(t, y0, starts, ends, gbounds):
+        return (t // n_tx, t % n_tx)
+
+    def attr_index(t, y0, starts, ends, gbounds):
+        return (0, t // n_tx, t % n_tx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((tile_h, tile_w), tile_index),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_h, tile_w), tile_index),
+            pl.BlockSpec((tile_h, tile_w), tile_index),
+            pl.BlockSpec((ATTR_CH, tile_h, tile_w), attr_index),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, rec_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((rec_rows, tile_h, tile_w), jnp.float32),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((height, width), jnp.float32),
+        jax.ShapeDtypeStruct((height, width), jnp.int32),
+        jax.ShapeDtypeStruct((ATTR_CH, height, width), jnp.float32),
+    )
+    y0_arr = jnp.asarray(y0_tiles, jnp.int32).reshape(1)
+    depth, tid_pair, attrs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(y0_arr, pairs.starts, pairs.ends, pairs.gbounds, pairs.records,
+      init_depth)
+    tid = jnp.where(
+        tid_pair >= 0, pairs.pair_tri[jnp.maximum(tid_pair, 0)], -1
+    )
+    return depth, tid, attrs

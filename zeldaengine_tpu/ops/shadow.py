@@ -132,6 +132,102 @@ def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     return total / count
 
 
+def compute_pcf_window1(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
+                        radius: int = 2, scale: float = 1.5,
+                        bias: float = 0.0):
+    """ComputePCF with ONE gather per pixel from a full 2-D window table.
+
+    The table row for base texel (y, x) holds the whole
+    (2*ceil(scale*r)+1)^2 window sm[y-3..y+3, x-3..x+3] (49 channels at
+    the reference's radius-2/scale-1.5). Built with the flatten-once
+    trick (wrap-pad BOTH axes, flatten, 49 shifted 1-D slices, one
+    stack): every slice is a contiguous copy, so the build is pure
+    bandwidth (~200 MB) instead of the catastrophically padded per-slice
+    2D reshapes that sank the first windowed-table attempt. Each tap then
+    resolves from the fetched row with at most a 4-way (2x2 binary)
+    channel select — TPU gather cost is per gather OP (and row count),
+    and a ~200-B row rides in the same fetch.
+
+    Exact tap-for-tap vs ``compute_pcf``.
+    """
+    lo = int(np.floor(-scale * radius))
+    hi = int(np.ceil(scale * radius))
+    w_win = hi - lo + 1  # 7 at radius 2 / scale 1.5 (both axes)
+    dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
+
+    # Wrap-pad both axes by the window reach; row (y*wp + x) of the
+    # table = smp[y + dy, x + dx] for all (dy, dx) in the window.
+    sm_p = jnp.pad(shadowmap, ((-lo, hi), (-lo, hi)), mode="wrap")
+    wp = dim_x + w_win - 1
+    flat = sm_p.reshape(-1)
+    span = (dim_y - 1) * wp + dim_x
+    shifts = [
+        jax.lax.dynamic_slice(flat, (dy * wp + dx,), (span,))
+        for dy in range(w_win)
+        for dx in range(w_win)
+    ]
+    table = jnp.stack(shifts, -1)  # (span, w_win^2)
+
+    w = shadow_coord[..., 3, None]
+    sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
+    z = sc[..., 2]
+    w_post = sc[..., 3]
+    in_range = (z > -1.0) & (z < 1.0) & (w_post > 0.0)
+    z_cmp = z - bias
+    fx = sc[..., 0] * dim_x
+    fy = sc[..., 1] * dim_y
+    xb = jnp.floor(fx)
+    yb = jnp.floor(fy)
+    xm = jnp.mod(xb.astype(jnp.int32), dim_x)
+    ym = jnp.mod(yb.astype(jnp.int32), dim_y)
+    row = table[ym * wp + xm]  # (..., w_win^2)
+
+    # Tap (oy, ox) reads channel (floor(fy + s*oy) - yb + 3) * 7 +
+    # (floor(fx + s*ox) - xb + 3); each floor offset takes at most two
+    # values split at the fractional part (see compute_pcf_packed).
+    frx = fx - xb
+    fry = fy - yb
+    total = 0.0
+    count = 0
+    for oy in range(-radius, radius + 1):
+        so_y = scale * oy
+        cy0 = int(np.floor(so_y)) - lo
+        if so_y == np.floor(so_y):
+            ylist = [(cy0, None)]
+        else:
+            thr_y = np.ceil(so_y) - so_y
+            ylist = [(cy0, thr_y)]
+        for ox in range(-radius, radius + 1):
+            so_x = scale * ox
+            cx0 = int(np.floor(so_x)) - lo
+            cy, thr_y = ylist[0]
+            if so_x == np.floor(so_x):
+                if thr_y is None:
+                    dist = row[..., cy * w_win + cx0]
+                else:
+                    dist = jnp.where(fry >= thr_y,
+                                     row[..., (cy + 1) * w_win + cx0],
+                                     row[..., cy * w_win + cx0])
+            else:
+                thr_x = np.ceil(so_x) - so_x
+                if thr_y is None:
+                    dist = jnp.where(frx >= thr_x,
+                                     row[..., cy * w_win + cx0 + 1],
+                                     row[..., cy * w_win + cx0])
+                else:
+                    d00 = row[..., cy * w_win + cx0]
+                    d01 = row[..., cy * w_win + cx0 + 1]
+                    d10 = row[..., (cy + 1) * w_win + cx0]
+                    d11 = row[..., (cy + 1) * w_win + cx0 + 1]
+                    dx_lo = jnp.where(frx >= thr_x, d01, d00)
+                    dx_hi = jnp.where(frx >= thr_x, d11, d10)
+                    dist = jnp.where(fry >= thr_y, dx_hi, dx_lo)
+            occluded = in_range & (dist < z_cmp)
+            total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
+            count += 1
+    return total / count
+
+
 def compute_pcf(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                 radius: int = 2, scale: float = 1.5, bias: float = 0.0):
     """ComputePCF (Common.glsl:323-342): (2r+1)^2 taps at ``scale`` texel

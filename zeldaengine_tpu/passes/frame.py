@@ -36,6 +36,7 @@ from zeldaengine_tpu.ops.rasterize import (
 from zeldaengine_tpu.ops.rasterize_pallas import (
     build_pairs,
     rasterize_pairs,
+    rasterize_pairs_fused,
 )
 from zeldaengine_tpu.ops.culling import expand_meshlet_mask, meshlet_cull
 from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
@@ -45,6 +46,7 @@ from zeldaengine_tpu.passes.gbuffer import (
     SurfaceAttributes,
     pack_gbuffer,
     surface_attributes,
+    surface_attributes_from_planes,
 )
 from zeldaengine_tpu.scene.scenebuild import GpuScene, SceneMeta
 
@@ -56,9 +58,20 @@ def _use_pallas(config: EngineConfig, band: bool, height: int) -> bool:
         return False
     if band and height % config.tile_h != 0:
         return False
-    if config.raster == "pallas":
+    if config.raster in ("pallas", "fused"):
         return True
     return jax.default_backend() not in ("cpu",)
+
+
+def _use_fused(config: EngineConfig, band: bool, height: int) -> bool:
+    """Fused raster+interpolate kernel (visibility passes that feed
+    surface attributes). Requires tile_w == 128 (the in-kernel record
+    fetch is a 128-lane dynamic gather)."""
+    if config.tile_w != 128:
+        return False
+    if not _use_pallas(config, band, height):
+        return False
+    return config.raster == "fused"
 
 
 def _pad_up(n: int, m: int) -> int:
@@ -95,6 +108,44 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
     )
 
 
+def _fused_extra(scene, setup, world, n_world):
+    """Per-triangle fused-record payload (T, 34): material-combo id (as a
+    float value) + 3 corners x (uv2, color3, world-pos3, world-normal3).
+    O(T) host-side-of-the-frame work, replacing the per-PIXEL (H, W, 64)
+    record gather + XLA interpolation the jnp attrs path does."""
+    n_t = setup.edge.shape[0]
+    pair_all = jnp.concatenate(
+        [scene.pair_static[:, :5], world, n_world], axis=1
+    )  # (P, 11)
+    corners = pair_all[scene.tri_vtx[:n_t]].reshape(n_t, 33)
+    combo = scene.mat_combined[scene.tri_meta[:n_t, 3]].astype(jnp.float32)
+    return jnp.concatenate([combo[:, None], corners], axis=1)
+
+
+def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
+                      init_depth=None, y0=0):
+    """Fused visibility raster + attribute interpolation: returns
+    (depth, tid, attr planes (ATTR_CH, H, W))."""
+    ph = _pad_up(height, config.tile_h)
+    pw = _pad_up(width, config.tile_w)
+    if init_depth is not None and (ph != height or pw != width):
+        init_depth = jnp.pad(
+            init_depth, ((0, ph - height), (0, pw - width)),
+            constant_values=1.0,
+        )
+    y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
+    pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
+                        expand=config.pair_expand, y0_tiles=y0_tiles,
+                        extra=extra)
+    depth, tid, planes = rasterize_pairs_fused(
+        pairs, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
+        tile_w=config.tile_w, sub_rows=config.sub_rows,
+        texture_size=config.texture_size, y0_tiles=y0_tiles,
+    )
+    return (depth[:height, :width], tid[:height, :width],
+            planes[:, :height, :width])
+
+
 def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                   band: bool = False, rows=None):
     height = rows if rows is not None else dim
@@ -113,6 +164,14 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
 def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
                    valid=None):
     sc = compute_shadow_coord(view.shadow_space, world_pos)
+    if config.pcf_backend == "window1":
+        # ONE gather per pixel from a 2-D window table (exact).
+        from zeldaengine_tpu.ops.shadow import compute_pcf_window1
+
+        return compute_pcf_window1(
+            shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+            bias=config.shadow_bias,
+        )
     if config.pcf_backend in ("auto", "packed"):
         # Exact tap-for-tap vs compute_pcf AND faster than the windowed
         # Pallas kernel (whose per-tile clamp is wrong on ~8% of pixels
@@ -478,20 +537,21 @@ def render_rows(
     vp_h = config.height
 
     # ---- tiled point-light culling (the usable form of the reference's
-    # 512-light capacity; UNROLL-sized tables shade without culling)
+    # 512-light capacity; UNROLL-sized tables shade without culling).
+    # Sharded row bands cull over band-local tiles (y0 offset), so the
+    # multi-chip path runs the same tiled feature set as single-chip.
     tiled_points = None
+    light_drops = None
     if (
         view.point_lights.shape[0] > 64
-        and full_frame
-        and height % config.light_tile_h == 0
         and width % config.light_tile_w == 0
     ):
         from zeldaengine_tpu.ops.lighting import cull_point_lights_tiled
 
-        tile_idx, tile_cnt = cull_point_lights_tiled(
+        tile_idx, tile_cnt, light_drops = cull_point_lights_tiled(
             view.point_lights, view.lights_count[1], view, width, height,
             config.light_tile_h, config.light_tile_w,
-            config.max_tile_lights,
+            config.max_tile_lights, y0=y0, vp_h=config.height,
         )
         tiled_points = (tile_idx, tile_cnt, config.light_tile_h,
                         config.light_tile_w)
@@ -554,18 +614,27 @@ def render_rows(
         shadowmap = shadowmap + 1.0
 
     # ---- 2. deferred scene -> GBuffer
+    use_fused = _use_fused(config, not full_frame, height)
     if meta.has_deferred:
         setup = triangle_setup(
             tri_clip, width, vp_h,
             two_sided=scene.tri_two_sided,
             valid_mask=tri_valid & scene.tri_deferred,
         )
-        depth_d, tid_d = _raster_vis(
-            setup, height, width, config, y0=y0, band=not full_frame
-        )
-        attrs_d = surface_attributes(
-            scene, setup, tid_d, world, n_world, config, y0=y0
-        )
+        if use_fused:
+            extra = _fused_extra(scene, setup, world, n_world)
+            depth_d, tid_d, planes_d = _raster_vis_fused(
+                setup, extra, height, width, config, y0=y0
+            )
+            attrs_d = surface_attributes_from_planes(scene, planes_d,
+                                                     config)
+        else:
+            depth_d, tid_d = _raster_vis(
+                setup, height, width, config, y0=y0, band=not full_frame
+            )
+            attrs_d = surface_attributes(
+                scene, setup, tid_d, world, n_world, config, y0=y0
+            )
         gbuf = pack_gbuffer(attrs_d, depth_d)
         # ---- 4a. deferred lighting (fullscreen, no depth test)
         color = resolve_lighting(gbuf, shadowmap, scene, view, config,
@@ -584,14 +653,23 @@ def render_rows(
             two_sided=scene.tri_two_sided,
             valid_mask=tri_valid & (~scene.tri_deferred),
         )
-        depth, tid_f = _raster_vis(
-            setup_f, height, width, config, init_depth=depth_d, y0=y0,
-            band=not full_frame,
-        )
+        if use_fused:
+            extra_f = _fused_extra(scene, setup_f, world, n_world)
+            depth, tid_f, planes_f = _raster_vis_fused(
+                setup_f, extra_f, height, width, config,
+                init_depth=depth_d, y0=y0,
+            )
+            attrs_f = surface_attributes_from_planes(scene, planes_f,
+                                                     config)
+        else:
+            depth, tid_f = _raster_vis(
+                setup_f, height, width, config, init_depth=depth_d, y0=y0,
+                band=not full_frame,
+            )
+            attrs_f = surface_attributes(
+                scene, setup_f, tid_f, world, n_world, config, y0=y0
+            )
         fwd_mask = tid_f >= 0
-        attrs_f = surface_attributes(
-            scene, setup_f, tid_f, world, n_world, config, y0=y0
-        )
         fwd_color = forward_shade(attrs_f, shadowmap, scene, view, config,
                                   tiled_points=tiled_points)
         color = jnp.where(fwd_mask[..., None], fwd_color, color)
@@ -632,7 +710,6 @@ def render_rows(
         bg_mask = (depth >= 1.0) & show_env
         color = jnp.where(bg_mask[..., None], bg_rgb, color)
 
-    color = jnp.clip(color, 0.0, 1.0)
     aux = {
         "depth": depth,
         "shadowmap": shadowmap,
@@ -640,4 +717,30 @@ def render_rows(
         "tri_id": tid_d_out,
         "forward_tri_id": tid_f,
     }
+    if config.validation:
+        # The validation-layer analogue (VK_LAYER_KHRONOS_validation +
+        # debug messenger, ZeldaEngine.cpp:799-829): opt-in per-frame
+        # counters for conditions that otherwise fail silently. Static
+        # flag — zero cost when off, exactly like a Vulkan debug build.
+        from zeldaengine_tpu.ops.rasterize_pallas import count_oversized
+
+        val = {
+            "nonfinite_color": jnp.sum(
+                ~jnp.isfinite(color)
+            ).astype(jnp.int32),
+            "nonfinite_shadowmap": jnp.sum(
+                ~jnp.isfinite(shadowmap)
+            ).astype(jnp.int32),
+            "light_drops": (
+                jnp.int32(0) if light_drops is None
+                else light_drops.astype(jnp.int32)
+            ),
+        }
+        if meta.has_deferred:
+            val["oversized_tris"] = count_oversized(
+                setup, width, config.height, config.tile_h, config.tile_w,
+                config.pair_expand,
+            )
+        aux["validation"] = val
+    color = jnp.clip(color, 0.0, 1.0)
     return color, aux

@@ -136,10 +136,22 @@ def surface_attributes(
     lod = 0.5 * jnp.log2(jnp.maximum(foot * ts * ts, 1e-12))
     lod = jnp.maximum(lod, 0.0)
 
-    # Trilinear sample of the neighborhood-packed 64-channel supertexture:
-    # 2 gathers per pixel return every material texture's full bilinear
-    # footprint at both mip levels.
+    # Trilinear sample of the mip-pair-packed 208-channel supertexture:
+    # ONE gather per pixel returns every material texture's 2x2 bilinear
+    # footprint at level l plus the 3x3 at level l+1.
     combo = scene.mat_combined[mat_id]  # (H, W)
+    return _finish_attributes(
+        scene, config, covered, combo, uv, lod, vertex_color, world_pos,
+        frag_normal, duv_dx, duv_dy, dpos_dx, dpos_dy,
+    )
+
+
+def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
+                       world_pos, frag_normal, duv_dx, duv_dy, dpos_dx,
+                       dpos_dy) -> SurfaceAttributes:
+    """Texture tap + TBN shared by the gather path and the fused-kernel
+    path (identical math; the fused kernel only replaces how the
+    interpolants were produced)."""
     texels = sample_trilinear_packed(
         scene.combined_atlas, combo, uv, lod, config.texture_size
     )  # (H, W, 16)
@@ -166,6 +178,30 @@ def surface_attributes(
         ao=ao,
         emissive=emissive,
         mask=mask,
+    )
+
+
+def surface_attributes_from_planes(
+    scene, planes: jnp.ndarray, config: EngineConfig
+) -> SurfaceAttributes:
+    """Build SurfaceAttributes from the fused kernel's (ATTR_CH, H, W)
+    output planes (ops/rasterize_pallas.py ATTR_CH layout): the kernel
+    already did the record fetch, interpolation and analytic derivatives
+    in VMEM; only the texture tap + TBN remain here."""
+
+    def v(lo, hi):  # channel-major -> (H, W, C)
+        return jnp.moveaxis(planes[lo:hi], 0, -1)
+
+    covered = planes[0] > 0.5
+    # Combo rides as a float VALUE (not a bitcast — TPU flushes denormal
+    # bit patterns); round back to the layer index.
+    combo = jnp.round(planes[1]).astype(jnp.int32)
+    return _finish_attributes(
+        scene, config, covered, combo,
+        uv=v(2, 4), lod=planes[4], vertex_color=v(5, 8),
+        world_pos=v(8, 11), frag_normal=v(11, 14),
+        duv_dx=v(14, 16), duv_dy=v(16, 18),
+        dpos_dx=v(18, 21), dpos_dy=v(21, 24),
     )
 
 

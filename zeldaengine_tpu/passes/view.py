@@ -89,11 +89,32 @@ def build_view_state(
 
     model = rotate_z(jnp.float32(roll_stage))
 
-    caps = light_capacities or (
-        config.max_directional_lights,
-        config.max_point_lights,
-        config.max_spot_lights,
-    )
+    if light_capacities is not None:
+        caps = light_capacities
+    elif config.adaptive_light_capacity:
+        # Pad each table to the next power of two >= its count (min 1):
+        # the unrolled lighting loop evaluates full BxDF per CAPACITY
+        # slot, so a 16-capacity table with 1 live light wastes 15
+        # full-screen light evaluations. pow2 quantization keeps
+        # recompiles to count-crossings (the reference's fixed 16/512/16
+        # capacities, ZeldaEngine.cpp:84-86, remain the upper bounds).
+        def cap(n, mx):
+            c = 1
+            while c < n:
+                c *= 2
+            return min(c, mx)
+
+        caps = (
+            cap(len(world.directional_lights), config.max_directional_lights),
+            cap(len(world.point_lights), config.max_point_lights),
+            cap(len(world.spot_lights), config.max_spot_lights),
+        )
+    else:
+        caps = (
+            config.max_directional_lights,
+            config.max_point_lights,
+            config.max_spot_lights,
+        )
     dir_arr = pack_lights(world.directional_lights, caps[0])
     point_arr = pack_lights(world.point_lights, caps[1])
     spot_arr = pack_lights(world.spot_lights, caps[2])

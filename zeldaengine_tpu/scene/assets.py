@@ -178,6 +178,45 @@ def load_profab(
     return found
 
 
+def scene_asset_fingerprint(world, roots: Optional[List[str]] = None) -> str:
+    """(path, mtime) digest of every on-disk asset the scene build would
+    touch for this world: Profab models/textures per object desc, the
+    skydome mesh, and the sky/cubemap/background images.
+
+    Folded into Engine._scene_content_key so a livelink push of an
+    UNCHANGED world still rebuilds when an asset file was edited on disk
+    (the reference rebuilds unconditionally, ZeldaEngine.cpp:1943-1951;
+    we skip rebuilds only when neither the world nor its assets moved).
+    """
+    roots = roots or []
+    parts: List[str] = []
+
+    def stamp(path):
+        if path and os.path.exists(path):
+            parts.append(f"{path}:{os.path.getmtime(path)}")
+
+    stamp(asset_path_search("skydome.obj", roots))
+    stamp(asset_path_search(world.skydome_file_name, roots))
+    for fn in world.cubemap_file_names:
+        stamp(asset_path_search(fn, roots))
+    stamp(asset_path_search(world.background_file_name, roots))
+    for desc in world.object_descs:
+        for root in roots:
+            pdir = os.path.join(root, "Profabs", desc.profab_name)
+            mdir = os.path.join(pdir, "models")
+            tdir = os.path.join(pdir, "textures")
+            if not os.path.isdir(mdir):
+                continue
+            for d in (mdir, tdir):
+                if os.path.isdir(d):
+                    for f in sorted(os.listdir(d)):
+                        stamp(os.path.join(d, f))
+            break
+    import hashlib
+
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
 def build_scene_from_world(
     world: World,
     config: EngineConfig,

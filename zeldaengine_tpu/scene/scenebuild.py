@@ -529,13 +529,15 @@ class SceneBuilder:
         def cached_atlas(kind, images, build_fn, dtype=jnp.bfloat16):
             key = (kind, images.shape, str(dtype),
                    hashlib.md5(np.ascontiguousarray(images)).hexdigest())
-            hit = _DEVICE_ATLAS_CACHE.get(key)
+            hit = _DEVICE_ATLAS_CACHE.pop(key, None)
             if hit is None:
                 hit = jnp.asarray(build_fn(images), dtype)
                 while len(_DEVICE_ATLAS_CACHE) >= 8:
                     _DEVICE_ATLAS_CACHE.pop(
                         next(iter(_DEVICE_ATLAS_CACHE)))
-                _DEVICE_ATLAS_CACHE[key] = hit
+            # Re-insert at the end: true LRU eviction order (a hit keeps
+            # the entry alive under rotating world reloads).
+            _DEVICE_ATLAS_CACHE[key] = hit
             return hit
 
         combo_cache = {}
