@@ -157,3 +157,35 @@ def test_pcf_window1_nonsquare_scale(rng):
         exact = compute_pcf(sm, sc, radius=radius, scale=scale)
         win1 = compute_pcf_window1(sm, sc, radius=radius, scale=scale)
         np.testing.assert_array_equal(np.asarray(win1), np.asarray(exact))
+
+
+def test_pcf_packed4_matches_exact(rng):
+    """compute_pcf_packed4 (quad-fused row table) is tap-for-tap
+    identical to compute_pcf across grazing footprints, wrap regions,
+    and all (radius, scale) combinations."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.shadow import compute_pcf, compute_pcf_packed4
+
+    dim = 128
+    sm = jnp.asarray(rng.rand(dim, dim).astype(np.float32))
+    h, w = 32, 128
+    u = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    v = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    z = rng.rand(h, w).astype(np.float32)
+    sc = jnp.stack(
+        [jnp.asarray(u), jnp.asarray(v), jnp.asarray(z), jnp.ones((h, w))],
+        -1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(compute_pcf_packed4(sm, sc)),
+        np.asarray(compute_pcf(sm, sc)),
+    )
+    sm2 = jnp.asarray(rng.rand(64, 64).astype(np.float32))
+    sc2 = sc[:16, :16] * 0.5
+    for radius, scale in ((1, 1.0), (2, 1.5), (3, 2.0)):
+        np.testing.assert_array_equal(
+            np.asarray(compute_pcf_packed4(sm2, sc2, radius=radius,
+                                           scale=scale)),
+            np.asarray(compute_pcf(sm2, sc2, radius=radius, scale=scale)),
+        )

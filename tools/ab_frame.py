@@ -27,16 +27,19 @@ VARIANTS = {
     "base": {},
     "pcf_window1": {"pcf_backend": "window1"},
     "pcf_exact": {"pcf_backend": "exact"},
+    "pcf_packed4": {"pcf_backend": "packed4"},
     "expand16": {"pair_expand": 16},
-    "expand32": {"pair_expand": 32},
     "tile16": {"tile_h": 16},
     "tile64": {"tile_h": 64},
     "subrows4": {"sub_rows": 4},
     "subrows16": {"sub_rows": 16},
-    "subrows32": {"sub_rows": 32},
-    "lighttiles": {"light_tile_always": True},
     "fused": {"raster": "fused"},
     "fused_pcf1": {"raster": "fused", "pcf_backend": "window1"},
+    "fused_pcf4": {"raster": "fused", "pcf_backend": "packed4"},
+    "fused_caps": {"raster": "fused", "_adaptive_caps": True},
+    "fused_tiled": {"raster": "fused", "tiled_lights_min": 9},
+    "fused_all": {"raster": "fused", "pcf_backend": "packed4",
+                  "_adaptive_caps": True, "tiled_lights_min": 9},
 }
 
 
@@ -102,21 +105,20 @@ def main():
     print(f"# scene build {time.time()-t0:.1f}s "
           f"tris={meta.num_triangles}", flush=True)
 
-    def make_view(i):
+    def make_view(i, caps=(8, 16, 8)):
         return build_view_state(world, base, time=i / 60.0,
                                 roll_light=i * 0.02,
-                                light_capacities=(8, 16, 8))
+                                light_capacities=caps)
 
     for name in args.variants.split(","):
         over = dict(VARIANTS[name])
-        over.pop("light_tile_always", None)  # handled via config field
+        adaptive = over.pop("_adaptive_caps", False)
         cfg = base.replace(**over) if over else base
-        if "light_tile_always" in VARIANTS[name]:
-            cfg = cfg.replace(light_tile_always=True)
+        caps = None if adaptive else (8, 16, 8)
         try:
             ms, comp = steady_ms(
                 lambda s, v, cfg=cfg: render_rows(s, v, meta, cfg)[0],
-                scene, make_view, frames=args.frames,
+                scene, lambda i: make_view(i, caps), frames=args.frames,
             )
             print(json.dumps({"variant": name, "ms": round(ms, 1),
                               "compile_s": round(comp, 1)}), flush=True)

@@ -100,6 +100,10 @@ class EngineConfig:
     max_tile_lights: int = 32
     light_tile_h: int = 8
     light_tile_w: int = 128
+    # Engage tiled culling at this point-light TABLE CAPACITY (the
+    # unrolled loop wins for small tables; the tiled path's dynamic trip
+    # count wins once tables outgrow the busiest tile's light count).
+    tiled_lights_min: int = 65
 
     # Pad light tables to next_pow2(count) instead of the full capacity
     # (the unrolled light loop costs per capacity SLOT; see view.py).

@@ -110,7 +110,7 @@ def direct_lighting(
         )
 
     acc = accumulate(acc, dir_lights, dir_contrib)
-    if tiled_points is not None and point_lights.shape[0] > UNROLL_LIMIT:
+    if tiled_points is not None:
         tile_idx, tile_cnt, lt_h, lt_w = tiled_points
         acc = acc + _point_lighting_tiled(
             diffuse_color, roughness, n, p, v, ndotv,
@@ -160,10 +160,13 @@ def cull_point_lights_tiled(
     cx = (clip[:, 0] / jnp.where(w > 0, safe_w, -safe_w) * 0.5 + 0.5) * width
     cy = (clip[:, 1] / jnp.where(w > 0, safe_w, -safe_w) * 0.5 + 0.5) * vp_h
     # Conservative screen radius from the projection's focal length.
+    # NOTE: aspect and the y pixel scale come from the FULL viewport
+    # (vp_h), not the band height — the projection doesn't change when a
+    # device renders a row band.
     f = 1.0 / jnp.tan(jnp.radians(view.camera_fov) * 0.5)
-    aspect = width / height
+    aspect = width / vp_h
     rx = radius * (f / aspect) / safe_w * 0.5 * width
-    ry = radius * f / safe_w * 0.5 * height
+    ry = radius * f / safe_w * 0.5 * vp_h
     # Behind/crossing the camera plane: keep everywhere (conservative).
     near_cam = w < radius + 0.1
     lx0 = jnp.where(near_cam, 0.0, cx - rx)
@@ -253,8 +256,14 @@ def _point_lighting_tiled(
         )
         return acc + radiance * (dif + spec[..., None]) * on[..., None]
 
+    # Dynamic trip count: no tile holds more than max(tile_cnt) lights,
+    # so slots beyond it are all-masked work. A traced bound turns the
+    # loop into a while_loop that stops at the actual per-frame maximum
+    # (a 512-capacity scene whose busiest tile sees 6 lights runs 6
+    # full-frame light evaluations, not k_max).
+    k_dyn = jnp.minimum(jnp.max(tile_cnt), k_max)
     acc = jax.lax.fori_loop(
-        0, k_max, body,
+        0, k_dyn, body,
         jnp.zeros((n_ty, tile_h, n_tx, tile_w, 3), jnp.float32),
     )
     return acc.reshape(height, width, 3)

@@ -53,15 +53,32 @@ class PairedTriangles(NamedTuple):
 
     ``records`` holds per-PAIR rasterization records gathered into sorted
     pair order (16 rows x 128 lanes per slice); tile t's pairs occupy the
-    contiguous index range [starts[t], ends[t]); pairs of triangles whose
-    bbox covers more than ``expand`` tiles live in the global bucket
-    [gbounds[0], gbounds[1]) walked by every tile."""
+    contiguous index range [starts[t], ends[t]). Triangles whose bbox
+    covers more than ``expand`` tiles get SUPERTILE pairs (a supertile is
+    ``SUPER_H x SUPER_W`` tiles; range [sstarts[s], sends[s]) walked by
+    each of the supertile's tiles); only triangles too big for the
+    supertile budget land in the global bucket [gbounds[0], gbounds[1])
+    walked by every tile."""
 
     records: jnp.ndarray  # (n_slices, 16, 128) float32
     pair_tri: jnp.ndarray  # (n_slices * 128,) int32 original triangle id
     starts: jnp.ndarray  # (n_tiles,) int32 first pair index of the tile
     ends: jnp.ndarray  # (n_tiles,) int32 one-past-last pair index
+    sstarts: jnp.ndarray  # (n_super,) int32 supertile range start
+    sends: jnp.ndarray  # (n_super,) int32 supertile range end
     gbounds: jnp.ndarray  # (2,) int32 global-bucket [start, end)
+
+
+# Supertile geometry (in tiles) and its pair budget: a triangle covering
+# more than ``expand`` tiles emits up to SUPER_EXPAND supertile pairs
+# (each walked by SUPER_H*SUPER_W tiles) before falling into the global
+# bucket walked by EVERY tile. At the demo scale the global bucket held
+# 248 near-camera terrain triangles = 46% of all kernel visits (3 slices
+# x 510 tiles); two-level binning cuts that to the handful of triangles
+# spanning more than ~16 supertiles.
+SUPER_H = 2
+SUPER_W = 4
+SUPER_EXPAND = 4
 
 
 def build_pairs(
@@ -129,20 +146,39 @@ def build_pairs(
     ny = (ty1 - ty0 + 1.0)
     ncov = jnp.where(live, nx * ny, 0.0)
 
-    # Pair expansion: slot e of triangle i covers tile (ty0 + e // nx,
-    # tx0 + e % nx). DEAD = n_tiles + 1 sorts after the global bucket.
-    dead = jnp.float32(n_tiles + 1)
+    # Supertile ranges (two-level binning; see SUPER_* above).
+    n_sx = -(-n_tx // SUPER_W)
+    n_sy = -(-n_ty // SUPER_H)
+    n_super = n_sy * n_sx
+    sx0 = jnp.floor(tx0 / SUPER_W)
+    sy0 = jnp.floor(ty0 / SUPER_H)
+    sx1 = jnp.floor(tx1 / SUPER_W)
+    sy1 = jnp.floor(ty1 / SUPER_H)
+    snx = sx1 - sx0 + 1.0
+    ncov_s = jnp.where(live, snx * (sy1 - sy0 + 1.0), 0.0)
+
+    # Pair expansion: slot e of a small triangle covers tile
+    # (ty0 + e // nx, tx0 + e % nx); slot e < SUPER_EXPAND of a medium
+    # triangle covers supertile (sy0 + e // snx, sx0 + e % snx), keyed
+    # after the dense tiles. DEAD sorts after the global bucket.
+    g_key = jnp.float32(n_tiles + n_super)
+    dead = g_key + 1.0
     e = jnp.arange(expand, dtype=jnp.float32)[None, :]
     ey = jnp.floor((e + 0.5) / nx[:, None])
     ex = e - ey * nx[:, None]
     tile = (ty0[:, None] + ey) * n_tx + (tx0[:, None] + ex)
+    sey = jnp.floor((e + 0.5) / snx[:, None])
+    sex = e - sey * snx[:, None]
+    stile = n_tiles + (sy0[:, None] + sey) * n_sx + (sx0[:, None] + sex)
     small = ncov <= expand
+    med = (~small) & (ncov_s <= SUPER_EXPAND)
     keys = jnp.where(
-        (e < ncov[:, None]) & small[:, None], tile, dead
+        (e < ncov[:, None]) & small[:, None], tile,
+        jnp.where((e < ncov_s[:, None]) & med[:, None], stile, dead),
     )
-    # Oversized triangles: one pair in the global bucket (key n_tiles).
+    # Oversized triangles: one pair in the global bucket.
     keys = keys.at[:, 0].set(
-        jnp.where(live & ~small, jnp.float32(n_tiles), keys[:, 0])
+        jnp.where(live & ~small & ~med, g_key, keys[:, 0])
     )
     pad = (-(t * expand)) % 128
     keys = jnp.pad(keys.reshape(-1), ((0, pad)), constant_values=dead)
@@ -155,16 +191,18 @@ def build_pairs(
         (keys.astype(jnp.int32), tri_ids), num_keys=1
     )
 
-    # Per-bin offsets (n_tiles dense bins + global bucket + dead).
-    hist = jnp.zeros((n_tiles + 2,), jnp.int32).at[
-        jnp.clip(skey, 0, n_tiles + 1)
-    ].add(1)
-    off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)]
-    )
+    # Per-bin offsets (n_tiles dense + n_super supertile + global + dead)
+    # via binary search over the SORTED keys — 0.5k searches of log(P)
+    # instead of a P-element scatter-add histogram.
+    off = jnp.searchsorted(
+        skey, jnp.arange(n_tiles + n_super + 2, dtype=jnp.int32),
+        side="left",
+    ).astype(jnp.int32)
     starts = off[:n_tiles]
     ends = off[1 : n_tiles + 1]
-    gbounds = off[n_tiles : n_tiles + 2]
+    sstarts = off[n_tiles : n_tiles + n_super]
+    sends = off[n_tiles + 1 : n_tiles + n_super + 1]
+    gbounds = off[n_tiles + n_super : n_tiles + n_super + 2]
 
     pair_rec = rec16[stri]  # (P, rec_rows)
     n_slices = pair_rec.shape[0] // 128
@@ -174,6 +212,8 @@ def build_pairs(
         pair_tri=stri,
         starts=starts,
         ends=ends,
+        sstarts=sstarts,
+        sends=sends,
         gbounds=gbounds,
     )
 
@@ -212,15 +252,33 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
     the body must mask lanes outside the window). Both ranges ride ONE
     loop so the DMA pipeline never drains between them."""
 
-    def walk(lo_a, hi_a, lo_b, hi_b, body):
-        s0_a = lo_a // 128
-        n_a = jnp.where(hi_a > lo_a, (hi_a + 127) // 128 - s0_a, 0)
-        s0_b = lo_b // 128
-        n_b = jnp.where(hi_b > lo_b, (hi_b + 127) // 128 - s0_b, 0)
-        n = n_a + n_b
+    def walk(ranges, body, init_carry=0):
+        """``ranges``: static-length list of (lo, hi) pair-index ranges
+        (a tile's dense range, its supertile range, the global bucket)
+        walked as ONE fori_loop so the DMA pipeline never drains between
+        them. ``body(slot, c_base, lo, hi, carry) -> carry``; boundary
+        slices are shared with neighbor ranges/tiles, so the body must
+        mask lanes outside [lo, hi). Returns the final carry."""
+        s0s, cnts = [], []
+        for lo, hi in ranges:
+            s0s.append(lo // 128)
+            cnts.append(jnp.where(hi > lo, (hi + 127) // 128 - (lo // 128),
+                                  0))
+        # Exclusive prefix of the per-range slice counts.
+        pref = [jnp.int32(0)]
+        for c in cnts:
+            pref.append(pref[-1] + c)
+        n = pref[-1]
+
+        def pick(j, vals):
+            out = vals[-1]
+            for r in range(len(ranges) - 2, -1, -1):
+                out = jnp.where(j < pref[r + 1], vals[r], out)
+            return out
 
         def slice_of(j):
-            return jnp.where(j < n_a, s0_a + j, s0_b + (j - n_a))
+            return pick(j, [s0s[r] + (j - pref[r])
+                            for r in range(len(ranges))])
 
         def get_dma(slot, j):
             return pltpu.make_async_copy(
@@ -234,7 +292,7 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
             def _warmup(k=k):
                 get_dma(k, k).start()
 
-        def slice_body(j, _):
+        def slice_body(j, carry):
             slot = jax.lax.rem(j, n_slots)
 
             @pl.when(j + n_slots - 1 < n)
@@ -244,14 +302,12 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
                 ).start()
 
             get_dma(slot, j).wait()
-            in_a = j < n_a
             c_base = slice_of(j) * 128
-            lo = jnp.where(in_a, lo_a, lo_b)
-            hi = jnp.where(in_a, hi_a, hi_b)
-            body(slot, c_base, lo, hi)
-            return 0
+            lo = pick(j, [r[0] for r in ranges])
+            hi = pick(j, [r[1] for r in ranges])
+            return body(slot, c_base, lo, hi, carry)
 
-        jax.lax.fori_loop(0, n, slice_body, 0)
+        return jax.lax.fori_loop(0, n, slice_body, init_carry)
 
     return walk
 
@@ -260,6 +316,8 @@ def _pair_kernel(
     y0_ref,
     starts_ref,
     ends_ref,
+    sstarts_ref,
+    sends_ref,
     gbounds_ref,
     records_hbm,
     init_ref,
@@ -267,6 +325,8 @@ def _pair_kernel(
     tid_ref,
     scratch_ref,
     sem_ref,
+    acc_d_ref,
+    acc_t_ref,
     *,
     tile_h: int,
     tile_w: int,
@@ -276,31 +336,43 @@ def _pair_kernel(
 ):
     t = pl.program_id(0)
 
-    depth_ref[:, :] = init_ref[:, :]
-    if not depth_only:
-        tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-
     ty = t // n_tx
     tx = t % n_tx
     base_x = (tx * tile_w).astype(jnp.int32)
     base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
+    n_sx = -(-n_tx // SUPER_W)
+    st = (ty // SUPER_H) * n_sx + (tx // SUPER_W)
 
     n_slots = 4  # DMA pipeline depth (hides HBM latency across slices)
     walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
-    raster_body = _make_raster_body(
-        scratch_ref, depth_ref, tid_ref, base_x, base_y,
-        tile_h=tile_h, tile_w=tile_w, sub_rows=sub_rows,
-        depth_only=depth_only,
+    ranges = [
+        (starts_ref[t], ends_ref[t]),
+        (sstarts_ref[st], sends_ref[st]),
+        (gbounds_ref[0], gbounds_ref[1]),
+    ]
+    _run_raster_walk(
+        walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x, base_y,
+        ranges, acc_d_ref, acc_t_ref, tile_h=tile_h, tile_w=tile_w,
+        sub_rows=sub_rows, depth_only=depth_only,
     )
-    walk(starts_ref[t], ends_ref[t], gbounds_ref[0],
-         gbounds_ref[1], raster_body)
 
 
-def _make_raster_body(scratch_ref, depth_ref, tid_ref, base_x, base_y, *,
-                      tile_h: int, tile_w: int, sub_rows: int,
-                      depth_only: bool):
-    """Build the per-slice raster body (z-test + winner tracking) shared
-    by the plain pair kernel and phase 1 of the fused kernel."""
+def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
+                     base_x, base_y, ranges, acc_d_ref, acc_t_ref, *,
+                     tile_h: int, tile_w: int, sub_rows: int,
+                     depth_only: bool):
+    """Phase-1 visibility walk (z-test + winner tracking), shared by the
+    plain pair kernel and the fused kernel.
+
+    Per-sub-block (depth, winner-key) state accumulates in
+    ``acc_d_ref``/``acc_t_ref`` VMEM scratch shaped (n_sub, p_sub): a
+    row slice is a lane-major 1-D vector in exactly the layout the
+    (p_sub, 128) raster math produces, so per-visit load/store is a
+    plain VMEM move. The (rows, lanes) output refs are written ONCE per
+    tile — per-visit ``ref[(rows, lanes)] <-> (p_sub,)`` reshapes are
+    sublane<->lane relayouts that cost more than the edge math. (A
+    fori_loop-carry variant hit a Mosaic abort: ``min(axis=1) ->
+    reshape -> carry`` fails to lower, probe 2026-08-17.)"""
     n_sub = tile_h // sub_rows
     p_sub = sub_rows * tile_w
     lane_f = jax.lax.broadcasted_iota(
@@ -308,7 +380,14 @@ def _make_raster_body(scratch_ref, depth_ref, tid_ref, base_x, base_y, *,
     ).astype(jnp.float32)
     depth_scale = 65536.0
 
-    def raster_body(slot, c_base, lo, hi):
+    for sb in range(n_sub):
+        acc_d_ref[sb, :] = init_ref[
+            pl.ds(sb * sub_rows, sub_rows), :
+        ].reshape(p_sub)
+        if not depth_only:
+            acc_t_ref[sb, :] = jnp.full((p_sub,), -1, jnp.int32)
+
+    def raster_body(slot, c_base, lo, hi, carry):
         # Boundary slices are shared with neighbor tiles: mask lanes
         # whose pair index falls outside the walked range.
         lane_ok = (
@@ -349,14 +428,7 @@ def _make_raster_body(scratch_ref, depth_ref, tid_ref, base_x, base_y, *,
             if depth_only:
                 cand = jnp.where(inside, d, NO_HIT)
                 kb_best = jnp.min(cand, axis=1)
-                cur = depth_ref[
-                    pl.ds(sb * sub_rows, sub_rows), :
-                ].reshape(p_sub)
-                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
-                    jnp.minimum(kb_best, cur).reshape(
-                        sub_rows, tile_w
-                    )
-                )
+                acc_d_ref[sb, :] = jnp.minimum(kb_best, acc_d_ref[sb, :])
             else:
                 # Round-to-nearest: halves the quantization bias vs
                 # floor and keeps the vis depth within half a 1/65536
@@ -371,25 +443,23 @@ def _make_raster_body(scratch_ref, depth_ref, tid_ref, base_x, base_y, *,
                     kmin < NO_HIT, kq * (1.0 / depth_scale), NO_HIT
                 )
                 kb_id = c_base + (kmin - kq * 128.0).astype(jnp.int32)
-                cur = depth_ref[
-                    pl.ds(sb * sub_rows, sub_rows), :
-                ].reshape(p_sub)
+                cur = acc_d_ref[sb, :]
                 take = kb_best < cur
-                depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
-                    jnp.where(take, kb_best, cur).reshape(
-                        sub_rows, tile_w
-                    )
-                )
-                cur_t = tid_ref[
-                    pl.ds(sb * sub_rows, sub_rows), :
-                ].reshape(p_sub)
-                tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
-                    jnp.where(take, kb_id, cur_t).reshape(
-                        sub_rows, tile_w
-                    )
-                )
+                acc_d_ref[sb, :] = jnp.where(take, kb_best, cur)
+                acc_t_ref[sb, :] = jnp.where(take, kb_id,
+                                             acc_t_ref[sb, :])
+        return carry
 
-    return raster_body
+    walk(ranges, raster_body)
+
+    for sb in range(n_sub):
+        depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+            acc_d_ref[sb, :].reshape(sub_rows, tile_w)
+        )
+        if not depth_only:
+            tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
+                acc_t_ref[sb, :].reshape(sub_rows, tile_w)
+            )
 
 
 @functools.partial(
@@ -435,11 +505,11 @@ def rasterize_pairs(
         depth_only=depth_only,
     )
 
-    def tile_index(t, y0, starts, ends, gbounds):
+    def tile_index(t, *prefetch):
         return (t // n_tx, t % n_tx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -452,6 +522,10 @@ def rasterize_pairs(
         scratch_shapes=[
             pltpu.VMEM((4, pairs.records.shape[1], 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
+                       jnp.float32),
+            pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
+                       jnp.int32),
         ],
     )
     out_shape = (
@@ -467,8 +541,8 @@ def rasterize_pairs(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(y0_arr, pairs.starts, pairs.ends, pairs.gbounds, pairs.records,
-      init_depth)
+    )(y0_arr, pairs.starts, pairs.ends, pairs.sstarts, pairs.sends,
+      pairs.gbounds, pairs.records, init_depth)
     if depth_only:
         return depth
     tid = jnp.where(
@@ -497,6 +571,8 @@ def _pair_fused_kernel(
     y0_ref,
     starts_ref,
     ends_ref,
+    sstarts_ref,
+    sends_ref,
     gbounds_ref,
     records_hbm,
     init_ref,
@@ -506,6 +582,8 @@ def _pair_fused_kernel(
     scratch_ref,
     sem_ref,
     acc_ref,
+    acc_d_ref,
+    acc_t_ref,
     *,
     tile_h: int,
     tile_w: int,
@@ -525,24 +603,25 @@ def _pair_fused_kernel(
     """
     t = pl.program_id(0)
 
-    depth_ref[:, :] = init_ref[:, :]
-    tid_ref[:, :] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-
     ty = t // n_tx
     tx = t % n_tx
     base_x = (tx * tile_w).astype(jnp.int32)
     base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
+    n_sx = -(-n_tx // SUPER_W)
+    st = (ty // SUPER_H) * n_sx + (tx // SUPER_W)
 
     n_slots = 4
     walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
 
     # ---- phase 1: visibility
-    raster_body = _make_raster_body(
-        scratch_ref, depth_ref, tid_ref, base_x, base_y,
+    _run_raster_walk(
+        walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x, base_y,
+        [(starts_ref[t], ends_ref[t]),
+         (sstarts_ref[st], sends_ref[st]),
+         (gbounds_ref[0], gbounds_ref[1])],
+        acc_d_ref, acc_t_ref,
         tile_h=tile_h, tile_w=tile_w, sub_rows=sub_rows, depth_only=False,
     )
-    walk(starts_ref[t], ends_ref[t], gbounds_ref[0],
-         gbounds_ref[1], raster_body)
 
     # ---- phase 2: winner-record fetch
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -559,10 +638,13 @@ def _pair_fused_kernel(
         hi2 = jnp.minimum(hi, ((smax + 1.0) * 128.0).astype(jnp.int32))
         return lo2, hi2
 
-    lo_a, hi_a = shrink(starts_ref[t], ends_ref[t])
-    lo_b, hi_b = shrink(gbounds_ref[0], gbounds_ref[1])
+    ranges2 = [
+        shrink(starts_ref[t], ends_ref[t]),
+        shrink(sstarts_ref[st], sends_ref[st]),
+        shrink(gbounds_ref[0], gbounds_ref[1]),
+    ]
 
-    def attr_body(slot, c_base, lo, hi):
+    def attr_body(slot, c_base, lo, hi, carry):
         rel = w - c_base
         hit = (w >= lo) & (w < hi) & (rel >= 0) & (rel < 128)
         relc = jnp.clip(rel, 0, 127)
@@ -572,8 +654,9 @@ def _pair_fused_kernel(
             )
             g = jnp.take_along_axis(row, relc, axis=1)
             acc_ref[c] = jnp.where(hit, g, acc_ref[c])
+        return carry
 
-    walk(lo_a, hi_a, lo_b, hi_b, attr_body)
+    walk(ranges2, attr_body)
 
     # ---- interpolation + analytic derivatives (plane layout)
     xi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
@@ -685,14 +768,14 @@ def rasterize_pairs_fused(
         texture_size=texture_size,
     )
 
-    def tile_index(t, y0, starts, ends, gbounds):
+    def tile_index(t, *prefetch):
         return (t // n_tx, t % n_tx)
 
-    def attr_index(t, y0, starts, ends, gbounds):
+    def attr_index(t, *prefetch):
         return (0, t // n_tx, t % n_tx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -707,6 +790,10 @@ def rasterize_pairs_fused(
             pltpu.VMEM((4, rec_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.VMEM((rec_rows, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
+                       jnp.float32),
+            pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
+                       jnp.int32),
         ],
     )
     out_shape = (
@@ -723,8 +810,8 @@ def rasterize_pairs_fused(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(y0_arr, pairs.starts, pairs.ends, pairs.gbounds, pairs.records,
-      init_depth)
+    )(y0_arr, pairs.starts, pairs.ends, pairs.sstarts, pairs.sends,
+      pairs.gbounds, pairs.records, init_depth)
     tid = jnp.where(
         tid_pair >= 0, pairs.pair_tri[jnp.maximum(tid_pair, 0)], -1
     )

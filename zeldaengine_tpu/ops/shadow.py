@@ -132,6 +132,76 @@ def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     return total / count
 
 
+def compute_pcf_packed4(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
+                        radius: int = 2, scale: float = 1.5,
+                        bias: float = 0.0):
+    """compute_pcf_packed with 4 x-adjacent bases fused per table row:
+    4x fewer gather-table rows ((dim*wp)/4 ~ 264k at 1024^2, under the
+    ~200k-row knee where TPU gather cost drops to ~5 ms/2M-pixel pass),
+    at the cost of a per-row 4-way align-select. Exact tap-for-tap vs
+    ``compute_pcf``.
+
+    Table row q holds g[4q .. 4q+4+W-2] where g is the x-wrap-padded
+    shadowmap flattened row-major and W the x-window span; the window of
+    base texel (y, x) starts at g[y*wp + x] = channel (f0 % 4) of row
+    f0 // 4.
+    """
+    lo = int(np.floor(-scale * radius))
+    hi = int(np.ceil(scale * radius))
+    w_win = hi - lo + 1
+    n_ch = w_win + 3  # 4 bases share a row
+    dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
+
+    sm_p = jnp.pad(shadowmap, ((0, 0), (-lo, hi)), mode="wrap")
+    wp = dim_x + w_win - 1
+    g = sm_p.reshape(-1)
+    nq = (dim_y * wp + 3) // 4
+    g = jnp.pad(g, (0, 4 * nq + n_ch - g.shape[0]))
+    table = jnp.stack(
+        [jax.lax.slice(g, (c,), (c + 4 * nq,), (4,)) for c in range(n_ch)],
+        -1,
+    )  # (nq, n_ch): table[q, c] = g[4q + c]
+
+    w = shadow_coord[..., 3, None]
+    sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
+    z = sc[..., 2]
+    w_post = sc[..., 3]
+    in_range = (z > -1.0) & (z < 1.0) & (w_post > 0.0)
+    z_cmp = z - bias
+    fx = sc[..., 0] * dim_x
+    fy = sc[..., 1] * dim_y
+    xb = jnp.floor(fx).astype(jnp.int32)
+    xm = jnp.mod(xb, dim_x)
+    frx = fx - jnp.floor(fx)
+    total = 0.0
+    count = 0
+    for oy in range(-radius, radius + 1):
+        iy = jnp.mod(jnp.floor(fy + scale * oy).astype(jnp.int32), dim_y)
+        f0 = iy * wp + xm
+        q = f0 >> 2
+        m = f0 & 3
+        raw = table[q]  # (..., n_ch) = g[4q .. 4q+n_ch-1]
+        # Align: row[c] = g[f0 + c] = raw[m + c]; m in 0..3 -> two binary
+        # selects shift the whole window at once.
+        b1 = (m & 2)[..., None] != 0
+        half = jnp.where(b1, raw[..., 2:], raw[..., : n_ch - 2])
+        b0 = (m & 1)[..., None] != 0
+        row = jnp.where(b0, half[..., 1 : w_win + 1], half[..., :w_win])
+        for ox in range(-radius, radius + 1):
+            so = scale * ox
+            c0 = int(np.floor(so)) - lo
+            if so == np.floor(so):
+                dist = row[..., c0]
+            else:
+                thr = np.ceil(so) - so
+                dist = jnp.where(frx >= thr, row[..., c0 + 1],
+                                 row[..., c0])
+            occluded = in_range & (dist < z_cmp)
+            total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
+            count += 1
+    return total / count
+
+
 def compute_pcf_window1(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                         radius: int = 2, scale: float = 1.5,
                         bias: float = 0.0):

@@ -17,7 +17,10 @@ reference's repeated vkCmdBlitImage linear-filter chain).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -276,25 +279,134 @@ def build_mip_pair_atlas(images: np.ndarray) -> np.ndarray:
             levels[-1].reshape(n, size, 2, size, 2, c).mean(axis=(2, 4))
         )
 
+    # In-place group writes + a thread pool over (level, group): the 13
+    # fancy-index expansions are independent slab writes into disjoint
+    # channel ranges (~1 GB at demo scale — the single-threaded
+    # concat-per-level version was the scene build's top cost).
+    from concurrent.futures import ThreadPoolExecutor
+
     atlas = np.zeros((n, s, 2 * s, 13 * c), np.float32)
-    for lv, level in enumerate(levels):
+
+    def write_group(lv, g):
+        level = levels[lv]
         size = level.shape[1]
         nxt = levels[min(lv + 1, len(levels) - 1)]
         sn = nxt.shape[1]
         x = np.arange(size)
         y = np.arange(size)
-        xp = np.minimum(x + 1, size - 1)
-        yp = np.minimum(y + 1, size - 1)
+        off = mip_offset_x(lv, s)
+        dst = atlas[:, :size, off : off + size, g * c : (g + 1) * c]
+        if g == 0:
+            dst[:] = level
+        elif g == 1:
+            xp = np.minimum(x + 1, size - 1)
+            dst[:] = level[:, :, xp]
+        elif g == 2:
+            yp = np.minimum(y + 1, size - 1)
+            dst[:] = level[:, yp, :]
+        elif g == 3:
+            xp = np.minimum(x + 1, size - 1)
+            yp = np.minimum(y + 1, size - 1)
+            dst[:] = level[:, yp][:, :, xp]
+        else:
+            dy, dx = divmod(g - 4, 3)
+            gy = np.clip(y // 2 - 1 + dy, 0, sn - 1)
+            gx = np.clip(x // 2 - 1 + dx, 0, sn - 1)
+            dst[:] = nxt[:, gy][:, :, gx]
+
+    tasks = [(lv, g) for lv in range(len(levels)) for g in range(13)]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda t: write_group(*t), tasks))
+    return atlas
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def build_mip_pair_atlas_device(images, out_dtype=jnp.bfloat16):
+    """``build_mip_pair_atlas`` on DEVICE (jnp, jitted): the NumPy
+    builder writes ~1 GB of host memory at demo scale (~1-2.5 s, the
+    dominant cold scene-build cost); on device the same gathers/means are
+    milliseconds, the upload is just the (N, S, S, C) source images, and
+    the result is born device-resident where the sampler needs it."""
+    images = jnp.asarray(images, jnp.float32)
+    n, s, s2_, c = images.shape
+    assert s == s2_ and (s & (s - 1)) == 0
+
+    levels = [images]
+    size = s
+    while size > 1:
+        size //= 2
+        levels.append(
+            levels[-1].reshape(n, size, 2, size, 2, c).mean(axis=(2, 4))
+        )
+
+    cols = []
+    for lv, level in enumerate(levels):
+        size = level.shape[1]
+        nxt = levels[min(lv + 1, len(levels) - 1)]
+        sn = nxt.shape[1]
+        x = jnp.arange(size)
+        y = jnp.arange(size)
+        xp = jnp.minimum(x + 1, size - 1)
+        yp = jnp.minimum(y + 1, size - 1)
         groups = [level, level[:, :, xp], level[:, yp, :],
                   level[:, yp][:, :, xp]]
         for dy in range(3):
-            gy = np.clip(y // 2 - 1 + dy, 0, sn - 1)
+            gy = jnp.clip(y // 2 - 1 + dy, 0, sn - 1)
             for dx in range(3):
-                gx = np.clip(x // 2 - 1 + dx, 0, sn - 1)
+                gx = jnp.clip(x // 2 - 1 + dx, 0, sn - 1)
                 groups.append(nxt[:, gy][:, :, gx])
+        block = jnp.concatenate(groups, axis=-1)
         off = mip_offset_x(lv, s)
-        atlas[:, :size, off : off + size] = np.concatenate(groups, axis=-1)
-    return atlas
+        pad_l = off
+        pad_r = 2 * s - off - size
+        cols.append(jnp.pad(
+            block, ((0, 0), (0, s - size), (0, 0), (0, 0))
+        ))
+        # Horizontal placement happens by summed scatter below; keep
+        # per-level blocks padded to full height.
+        cols[-1] = jnp.pad(cols[-1], ((0, 0), (0, 0), (pad_l, pad_r),
+                                      (0, 0)))
+    atlas = cols[0]
+    for b in cols[1:]:
+        atlas = atlas + b  # mip regions are disjoint in x
+    return atlas.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def build_quad_packed_atlas_device(images, out_dtype=jnp.bfloat16):
+    """``build_quad_packed_atlas`` on device (see the NumPy twin)."""
+    images = jnp.asarray(images, jnp.float32)
+    n, s, s2_, c = images.shape
+    assert s == s2_ and (s & (s - 1)) == 0
+
+    levels = [images]
+    size = s
+    while size > 1:
+        size //= 2
+        levels.append(
+            levels[-1].reshape(n, size, 2, size, 2, c).mean(axis=(2, 4))
+        )
+    blocks = []
+    for lv, level in enumerate(levels):
+        size = level.shape[1]
+        x = jnp.arange(size)
+        y = jnp.arange(size)
+        xp = jnp.minimum(x + 1, size - 1)
+        yp = jnp.minimum(y + 1, size - 1)
+        block = jnp.concatenate(
+            [level, level[:, :, xp], level[:, yp, :],
+             level[:, yp][:, :, xp]], axis=-1,
+        )
+        off = mip_offset_x(lv, s)
+        block = jnp.pad(block, ((0, 0), (0, s - size), (0, 0), (0, 0)))
+        blocks.append(jnp.pad(
+            block, ((0, 0), (0, 0), (off, 2 * s - off - size), (0, 0))
+        ))
+    packed = blocks[0]
+    for b in blocks[1:]:
+        packed = packed + b
+    n_, s_, w2, c4 = packed.shape
+    return packed.reshape(n_, s_, w2 // 4, 4 * c4).astype(out_dtype)
 
 
 def sample_trilinear_pair(atlas13: jnp.ndarray, layer, uv, lod, base: int):

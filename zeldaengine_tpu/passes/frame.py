@@ -164,6 +164,14 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
 def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
                    valid=None):
     sc = compute_shadow_coord(view.shadow_space, world_pos)
+    if config.pcf_backend == "packed4":
+        # Quad-fused row table: 4x fewer gather rows (exact).
+        from zeldaengine_tpu.ops.shadow import compute_pcf_packed4
+
+        return compute_pcf_packed4(
+            shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+            bias=config.shadow_bias,
+        )
     if config.pcf_backend == "window1":
         # ONE gather per pixel from a 2-D window table (exact).
         from zeldaengine_tpu.ops.shadow import compute_pcf_window1
@@ -543,7 +551,7 @@ def render_rows(
     tiled_points = None
     light_drops = None
     if (
-        view.point_lights.shape[0] > 64
+        view.point_lights.shape[0] >= config.tiled_lights_min
         and width % config.light_tile_w == 0
     ):
         from zeldaengine_tpu.ops.lighting import cull_point_lights_tiled

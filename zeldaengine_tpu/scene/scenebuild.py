@@ -517,8 +517,8 @@ class SceneBuilder:
         # mip-pair-packed so ONE gather returns the whole trilinear
         # footprint (2x2 at level l + 3x3 at l+1).
         from zeldaengine_tpu.ops.texture import (
-            build_mip_pair_atlas as _bmp,
-            build_quad_packed_atlas as _bma,
+            build_mip_pair_atlas_device as _bmp,
+            build_quad_packed_atlas_device as _bma,
         )
 
         # Device-resident atlas cache: packing (the 13-group mip-pair
@@ -531,7 +531,10 @@ class SceneBuilder:
                    hashlib.md5(np.ascontiguousarray(images)).hexdigest())
             hit = _DEVICE_ATLAS_CACHE.pop(key, None)
             if hit is None:
-                hit = jnp.asarray(build_fn(images), dtype)
+                # Built ON DEVICE (jitted gathers/means): the NumPy
+                # builders write ~1 GB of host memory at demo scale and
+                # dominated cold scene-build time.
+                hit = build_fn(images, out_dtype=dtype)
                 while len(_DEVICE_ATLAS_CACHE) >= 8:
                     _DEVICE_ATLAS_CACHE.pop(
                         next(iter(_DEVICE_ATLAS_CACHE)))
