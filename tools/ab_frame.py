@@ -40,6 +40,23 @@ VARIANTS = {
     "fused_tiled": {"raster": "fused", "tiled_lights_min": 9},
     "fused_all": {"raster": "fused", "pcf_backend": "packed4",
                   "_adaptive_caps": True, "tiled_lights_min": 9},
+    "fused_env": {"raster": "fused", "env_merge": True},
+    "fused_pcf_exact": {"raster": "fused", "pcf_backend": "exact"},
+    "fused_pcf4b": {"raster": "fused", "pcf_backend": "packed4"},
+    "fused_noshadow": {"raster": "fused", "enable_shadow": False},
+    "ab_nopcf": {"raster": "fused", "ablate": "nopcf"},
+    "ab_nolight": {"raster": "fused", "ablate": "nolight"},
+    "ab_notex": {"raster": "fused", "ablate": "notex"},
+    "ab_noswitch": {"raster": "fused", "ablate": "noswitch"},
+    "ab_nosky": {"raster": "fused", "ablate": "nosky"},
+    "ab_bare": {"raster": "fused",
+                "ablate": "nopcf,nolight,notex,noswitch,nosky",
+                "enable_shadow": False},
+    "fused_env_caps": {"raster": "fused", "env_merge": True,
+                       "_adaptive_caps": True},
+    "fused_env_caps_tiled": {"raster": "fused", "env_merge": True,
+                             "_adaptive_caps": True,
+                             "tiled_lights_min": 9},
 }
 
 

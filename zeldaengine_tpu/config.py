@@ -105,6 +105,14 @@ class EngineConfig:
     # count wins once tables outgrow the busiest tile's light count).
     tiled_lights_min: int = 65
 
+    # Merged environment tap: cubemap reflection + sky + background in
+    # ONE gather per pixel (ops/envtap.py) instead of 3-4 separate
+    # gathers. Near-exact vs the separate taps; the one semantic
+    # restriction: a pixel covered by geometry can no longer be overdrawn
+    # by the skydome (possible only when geometry sits BEYOND the dome
+    # radius, which a sane scene never does).
+    env_merge: bool = False
+
     # Pad light tables to next_pow2(count) instead of the full capacity
     # (the unrolled light loop costs per capacity SLOT; see view.py).
     adaptive_light_capacity: bool = True
@@ -117,6 +125,11 @@ class EngineConfig:
 
     # zFar sentinel for empty depth buffer
     depth_clear: float = 1.0
+
+    # DIAGNOSTIC ablations for in-context cost attribution (bench/ab
+    # tooling only — never correct output): comma-separated set of
+    # {"nopcf", "nolight", "notex", "noswitch", "nosky"}.
+    ablate: str = ""
 
     @cached_property
     def n_tiles_y(self) -> int:

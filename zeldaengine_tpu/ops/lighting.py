@@ -271,18 +271,25 @@ def _point_lighting_tiled(
 
 def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
                      cube_atlas, cubemap_size, sky_max_mips,
-                     specular=0.5):
-    """Base.frag:104-112 / BaseLighting.frag:213-221: IBL reflection."""
+                     specular=0.5, env_fetch=None):
+    """Base.frag:104-112 / BaseLighting.frag:213-221: IBL reflection.
+
+    ``env_fetch(refl_dir, mips) -> (..., >=3)`` overrides the cubemap
+    tap — the merged environment table (ops/envtap.py) fetches the
+    reflection, sky and background rows in ONE gather."""
     spec = pbr.compute_f0(specular, base_color, metallic)
     brdf = pbr.env_brdf_approx(spec, roughness, ndotv)
     r = pbr.refract(v, pbr.normalize(n), 1.0 / 1.52)
     mips = pbr.reflection_mip_from_roughness(
         roughness, jnp.asarray(sky_max_mips, jnp.float32)
     )
-    refl_l = sample_cubemap_lod(
-        cube_atlas, jnp.zeros(roughness.shape, jnp.int32), r, mips,
-        cubemap_size, quad=True,
-    )[..., :3] * 10.0
+    if env_fetch is not None:
+        refl_l = env_fetch(r, mips)[..., :3] * 10.0
+    else:
+        refl_l = sample_cubemap_lod(
+            cube_atlas, jnp.zeros(roughness.shape, jnp.int32), r, mips,
+            cubemap_size, quad=True,
+        )[..., :3] * 10.0
     refl_v = pbr.specular_occlusion(ndotv, roughness * roughness, ao)
     return refl_l * refl_v[..., None] * brdf
 
@@ -290,6 +297,7 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
 def shade_pixels(
     base_color, metallic, roughness, normal, ao, world_pos,
     shadow_factor, view, cube_atlas, cubemap_size, tiled_points=None,
+    env_fetch=None,
 ):
     """Full lighting shared by forward and deferred paths.
 
@@ -325,7 +333,7 @@ def shade_pixels(
     refl = reflection_color(
         base_color, metallic, roughness, n, v, ndotv, ao,
         cube_atlas, cubemap_size, view.lights_count[3],
-        specular=specular,
+        specular=specular, env_fetch=env_fetch,
     )
     return {
         "direct": direct,

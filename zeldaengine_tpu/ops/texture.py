@@ -566,3 +566,140 @@ def sample_trilinear_packed(atlas4: jnp.ndarray, layer, uv, lod, base: int,
         quad=quad,
     )
     return a * (1 - frac) + b * frac
+
+
+# ------------------------------------------------- merged environment tap
+
+def build_quad_pair_atlas_np(images: np.ndarray) -> np.ndarray:
+    """Mip-pair atlas with 4 x-adjacent texel rows fused per table row:
+    (N, S, 2S, 13C) -> (N, S, S/2, 52C). One row then serves a full
+    TRILINEAR sample for any of its 4 base texels (pair filtering after
+    a 4-way base select) — used for the cubemap inside the merged
+    environment table, where row COUNT drives gather cost."""
+    pair = build_mip_pair_atlas(images)
+    n, s, w2, c13 = pair.shape
+    return pair.reshape(n, s, w2 // 4, 4 * c13)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def build_quad_pair_atlas_device(images, out_dtype=jnp.bfloat16):
+    pair = build_mip_pair_atlas_device(images, out_dtype=jnp.float32)
+    n, s, w2, c13 = pair.shape
+    return pair.reshape(n, s, w2 // 4, 4 * c13).astype(out_dtype)
+
+
+def pair_row_context(layer, uv, lod, base: int, quad: bool = False):
+    """Index half of ``sample_trilinear_pair``: returns (flat_texel_index,
+    ctx) where flat_texel_index addresses the UNQUADDED (layer, y, x)
+    texel grid of a (N, S, 2S) pair atlas (the caller maps it to a table
+    row; with ``quad`` the caller divides x by 4 and selects by x % 4
+    from ctx['qj'])."""
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, mip_count(base) - 1.0)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    lvl = l0.astype(jnp.int32)
+    size_f = jnp.asarray(base, jnp.float32) / jnp.exp2(l0)
+    size_f = jnp.maximum(jnp.floor(size_f + 0.5), 1.0)
+    offs = _mip_offsets_table(base)[jnp.clip(lvl, 0, mip_count(base) - 1)]
+
+    uw = uv[..., 0] - jnp.floor(uv[..., 0])
+    vw = uv[..., 1] - jnp.floor(uv[..., 1])
+    u = uw * size_f - 0.5
+    v = vw * size_f - 0.5
+    size_i = size_f.astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, size_i - 1)
+    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, size_i - 1)
+    fu = jnp.clip(u - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    fv = jnp.clip(v - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
+
+    s2 = jnp.maximum(size_f * 0.5, 1.0)
+    s2_i = s2.astype(jnp.int32)
+    u2 = uw * s2 - 0.5
+    v2 = vw * s2 - 0.5
+    x20 = jnp.clip(jnp.floor(u2).astype(jnp.int32), 0, s2_i - 1)
+    y20 = jnp.clip(jnp.floor(v2).astype(jnp.int32), 0, s2_i - 1)
+    fu2 = jnp.clip(u2 - x20.astype(jnp.float32), 0.0, 1.0)[..., None]
+    fv2 = jnp.clip(v2 - y20.astype(jnp.float32), 0.0, 1.0)[..., None]
+    xg = x0 + offs.astype(jnp.int32)
+    ctx = {
+        "frac": frac, "fu": fu, "fv": fv, "fu2": fu2, "fv2": fv2,
+        "r": jnp.clip(x20 - (x0 // 2 - 1), 0, 1)[..., None],
+        "q": jnp.clip(y20 - (y0 // 2 - 1), 0, 1)[..., None],
+        "qj": xg % 4,
+    }
+    layer = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), x0.shape)
+    return layer, xg, y0, ctx
+
+
+def pair_filter_row(row, ctx, c: int):
+    """Filter half of ``sample_trilinear_pair``: ``row`` is the fetched
+    (..., 13c) mip-pair texel row."""
+    row = row.astype(jnp.float32)
+    fu, fv, fu2, fv2, frac = (ctx["fu"], ctx["fv"], ctx["fu2"],
+                              ctx["fv2"], ctx["frac"])
+
+    def grp(i):
+        return row[..., i * c : (i + 1) * c]
+
+    lo_top = grp(0) * (1 - fu) + grp(1) * fu
+    lo_bot = grp(2) * (1 - fu) + grp(3) * fu
+    lo = lo_top * (1 - fv) + lo_bot * fv
+
+    r0 = ctx["r"] == 0
+    q0 = ctx["q"] == 0
+
+    def nrow(dy):
+        a = jnp.where(q0, grp(4 + dy * 3), grp(7 + dy * 3))
+        b = jnp.where(q0, grp(5 + dy * 3), grp(8 + dy * 3))
+        cc = jnp.where(q0, grp(6 + dy * 3), grp(9 + dy * 3))
+        return a, b, cc
+
+    a0, b0, c0 = nrow(0)
+    a1, b1, c1 = nrow(1)
+    t00h = jnp.where(r0, a0, b0)
+    t10h = jnp.where(r0, b0, c0)
+    t01h = jnp.where(r0, a1, b1)
+    t11h = jnp.where(r0, b1, c1)
+    hi_top = t00h * (1 - fu2) + t10h * fu2
+    hi_bot = t01h * (1 - fu2) + t11h * fu2
+    hi = hi_top * (1 - fv2) + hi_bot * fv2
+    return lo * (1 - frac) + hi * frac
+
+
+def quad_select(row, j, c4: int):
+    """Pick base j (= x % 4) out of a quad-fused row (..., 4*c4)."""
+    half = jnp.where((j[..., None] & 2) == 0, row[..., : 2 * c4],
+                     row[..., 2 * c4 :])
+    return jnp.where((j[..., None] & 1) == 0, half[..., :c4],
+                     half[..., c4:])
+
+
+def quad_row_context(layer, uv, base: int):
+    """Index half of the quad-packed mip-0 bilinear tap (sample_base
+    quad=True): returns (layer, x_global, y, ctx)."""
+    size_f = jnp.asarray(base, jnp.float32)
+    uw = uv[..., 0] - jnp.floor(uv[..., 0])
+    vw = uv[..., 1] - jnp.floor(uv[..., 1])
+    u = uw * size_f - 0.5
+    v = vw * size_f - 0.5
+    size_i = jnp.int32(base)
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, size_i - 1)
+    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, size_i - 1)
+    fu = jnp.clip(u - x0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    fv = jnp.clip(v - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
+    layer = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), x0.shape)
+    return layer, x0, y0, {"fu": fu, "fv": fv, "qj": x0 % 4}
+
+
+def quad_filter_row(row, ctx, c: int):
+    """Filter half of the quad bilinear tap: ``row`` = fetched (..., 4c)
+    2x2-packed group (after quad_select)."""
+    row = row.astype(jnp.float32)
+    fu, fv = ctx["fu"], ctx["fv"]
+    t00 = row[..., 0:c]
+    t10 = row[..., c : 2 * c]
+    t01 = row[..., 2 * c : 3 * c]
+    t11 = row[..., 3 * c : 4 * c]
+    top = t00 * (1 - fu) + t10 * fu
+    bot = t01 * (1 - fu) + t11 * fu
+    return top * (1 - fv) + bot * fv

@@ -163,6 +163,8 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
 
 def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
                    valid=None):
+    if "nopcf" in config.ablate:  # diagnostic ablation
+        return jnp.ones(world_pos.shape[:-1], jnp.float32)
     sc = compute_shadow_coord(view.shadow_space, world_pos)
     if config.pcf_backend == "packed4":
         # Quad-fused row table: 4x fewer gather rows (exact).
@@ -328,7 +330,7 @@ def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
 
 def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
                      config: EngineConfig, enable_vis: bool = True,
-                     tiled_points=None):
+                     tiled_points=None, env_fetch=None):
     """BaseLighting.frag main(): unpack GBuffer, light, debug switch."""
     base_color = gbuf.gbuffer_c[..., :3]
     metallic = pbr.saturate(gbuf.gbuffer_b[..., 0])
@@ -341,11 +343,17 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
 
     shadow_factor = _shadow_factor(shadowmap, world_pos, view, config,
                                    valid=gbuf.depth < 1.0)
-    lit = shade_pixels(
-        base_color, metallic, roughness, normal, ao, world_pos,
-        shadow_factor, view, scene.cube_atlas, config.cubemap_size,
-        tiled_points=tiled_points,
-    )
+    if "nolight" in config.ablate:  # diagnostic ablation
+        lit = {"final": base_color * shadow_factor[..., None],
+               "reflection": jnp.zeros_like(base_color)}
+        if env_fetch is not None:  # keep sky/bg rows flowing
+            env_fetch(normal, roughness)
+    else:
+        lit = shade_pixels(
+            base_color, metallic, roughness, normal, ao, world_pos,
+            shadow_factor, view, scene.cube_atlas, config.cubemap_size,
+            tiled_points=tiled_points, env_fetch=env_fetch,
+        )
     final = gamma_correct(lit["final"] * mask[..., None])
 
     attrs = SurfaceAttributes(
@@ -364,6 +372,8 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
         emissive=emissive,
         mask=mask,
     )
+    if "noswitch" in config.ablate:  # diagnostic ablation
+        return final
     if enable_vis:
         # Lazy: GBufferVis (its own PCF + cubemap taps) must only run when
         # debug view 9 is selected, so it lives inside the switch branch.
@@ -381,7 +391,7 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
 
 
 def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
-                  config: EngineConfig, tiled_points=None):
+                  config: EngineConfig, tiled_points=None, env_fetch=None):
     """Base.frag main(): forward PBR with the case-0 ShadowFactor multiply."""
     shadow_factor = _shadow_factor(shadowmap, attrs.world_pos, view, config,
                                    valid=attrs.covered)
@@ -389,6 +399,7 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
         attrs.base_color, attrs.metallic, attrs.roughness, attrs.normal,
         attrs.ao, attrs.world_pos, shadow_factor, view,
         scene.cube_atlas, config.cubemap_size, tiled_points=tiled_points,
+        env_fetch=env_fetch,
     )
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(
@@ -433,17 +444,17 @@ def _skydome_mesh(scene, view, depth, color, show_env, height, width,
     return color, depth
 
 
-def _skydome_analytic(scene, view, depth, color, show_env, height, width,
-                      config: EngineConfig, y0):
-    """Closed-form skydome: per-pixel ray vs the dome sphere.
+def _sky_ray(scene, view, height, width, config: EngineConfig, y0):
+    """Closed-form skydome ray intersection: per-pixel ray vs the dome
+    sphere. Returns (uv (H, W, 2), sky_depth (H, W), hit (H, W) — in
+    front and within [0, 1] depth).
 
-    The dome is a radius-``skydome_radius`` UV sphere centered at the origin
-    (model-rotated); instead of rasterizing its ~576 triangles and gathering
-    interpolated UVs (3 full-screen gathers + a raster), intersect the
-    camera ray with the sphere analytically and derive the equirect UV from
-    the hit direction — pure VPU math, one texture gather. This is the
-    exact infinite-tessellation limit of the mesh path (same UV convention
-    as make_sphere: u = atan2(y, x)/2pi, v = acos(z/R)/pi)."""
+    The dome is a radius-``skydome_radius`` UV sphere centered at the
+    origin (model-rotated); instead of rasterizing its ~576 triangles
+    and gathering interpolated UVs, intersect the camera ray with the
+    sphere analytically and derive the equirect UV from the hit
+    direction — the exact infinite-tessellation limit of the mesh path
+    (same UV convention as make_sphere)."""
     from zeldaengine_tpu.ops.rasterize import _pixel_grid
 
     vp_h = config.height
@@ -493,14 +504,18 @@ def _skydome_analytic(scene, view, depth, color, show_env, height, width,
     clip_w = jnp.einsum("c,hwc->hw", view.view_proj[3, :3], p) \
         + view.view_proj[3, 3]
     sky_depth = clip_z / jnp.where(jnp.abs(clip_w) > 1e-20, clip_w, 1.0)
+    hit = hit & (sky_depth >= 0.0) & (sky_depth <= 1.0)
+    return uv, sky_depth, hit
 
-    sky_mask = (
-        hit & (sky_depth >= 0.0) & (sky_depth <= 1.0)
-        & (sky_depth < depth) & show_env
-    )
+
+def _skydome_analytic(scene, view, depth, color, show_env, height, width,
+                      config: EngineConfig, y0):
+    """Analytic skydome pass (ray + one sky gather + compose)."""
+    uv, sky_depth, hit = _sky_ray(scene, view, height, width, config, y0)
+    sky_mask = hit & (sky_depth < depth) & show_env
     sky_rgb = gamma_correct(
         sample_base(
-            scene.sky_tex, jnp.zeros(px.shape, jnp.int32), uv,
+            scene.sky_tex, jnp.zeros(uv.shape[:2], jnp.int32), uv,
             config.background_size, quad=True,
         )[..., :3]
     )
@@ -621,6 +636,57 @@ def render_rows(
         )
         shadowmap = shadowmap + 1.0
 
+    # ---- merged environment tap setup (one gather for reflection +
+    # sky + background; ops/envtap.py). The sky ray runs BEFORE the
+    # resolve so uncovered pixels' table rows ride the reflection
+    # gather.
+    use_env = (
+        config.env_merge
+        and scene.env_table is not None
+        and meta.env_shapes is not None
+        and config.skydome_mode == "analytic"
+    )
+    show_env = view.debug_view == 0  # :3682/:3693 skip when debug != 0
+    sky_uv = sky_depth = sky_hit = bg_uv = None
+    if use_env:
+        if meta.enable_skydome and config.enable_skydome:
+            sky_uv, sky_depth, sky_hit = _sky_ray(
+                scene, view, height, width, config, y0
+            )
+        else:
+            sky_uv = jnp.zeros((height, width, 2), jnp.float32)
+            sky_hit = jnp.zeros((height, width), bool)
+        if meta.enable_background and config.enable_background:
+            yy = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+                  + y0) / config.height
+            xx = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) \
+                / width
+            bg_uv = jnp.stack(
+                [jnp.broadcast_to(xx, (height, width)),
+                 jnp.broadcast_to(yy, (height, width))], -1,
+            )
+
+    def make_env_fetch(covered, cell):
+        if not use_env:
+            return None
+
+        def env_fetch(r, mips):
+            from zeldaengine_tpu.ops.envtap import sample_env_merged
+
+            refl, sky_rgba, bg_rgba = sample_env_merged(
+                scene.env_table, meta.env_shapes, covered, r, mips,
+                config.cubemap_size, sky_uv, sky_hit, bg_uv,
+                config.background_size, config.background_size,
+            )
+            cell["sky"] = sky_rgba
+            cell["bg"] = bg_rgba
+            cell["covered"] = covered
+            return refl
+
+        return env_fetch
+
+    env_cell = {}
+
     # ---- 2. deferred scene -> GBuffer
     use_fused = _use_fused(config, not full_frame, height)
     if meta.has_deferred:
@@ -645,9 +711,11 @@ def render_rows(
             )
         gbuf = pack_gbuffer(attrs_d, depth_d)
         # ---- 4a. deferred lighting (fullscreen, no depth test)
-        color = resolve_lighting(gbuf, shadowmap, scene, view, config,
-                                 enable_vis=full_frame,
-                                 tiled_points=tiled_points)
+        color = resolve_lighting(
+            gbuf, shadowmap, scene, view, config,
+            enable_vis=full_frame, tiled_points=tiled_points,
+            env_fetch=make_env_fetch(attrs_d.covered, env_cell),
+        )
         tid_d_out = tid_d
     else:
         depth_d = jnp.ones((height, width), jnp.float32)
@@ -678,18 +746,33 @@ def render_rows(
                 scene, setup_f, tid_f, world, n_world, config, y0=y0
             )
         fwd_mask = tid_f >= 0
-        fwd_color = forward_shade(attrs_f, shadowmap, scene, view, config,
-                                  tiled_points=tiled_points)
+        fwd_env_cell = {}
+        fwd_color = forward_shade(
+            attrs_f, shadowmap, scene, view, config,
+            tiled_points=tiled_points,
+            env_fetch=make_env_fetch(attrs_f.covered, fwd_env_cell),
+        )
         color = jnp.where(fwd_mask[..., None], fwd_color, color)
+        if use_env and not env_cell:
+            env_cell = fwd_env_cell  # forward-only scenes
     else:
         depth = depth_d
         tid_f = jnp.full((height, width), -1, jnp.int32)
 
-    show_env = view.debug_view == 0  # :3682/:3693 skip when debug view != 0
-
     # ---- 4c. skydome (LESS_OR_EQUAL against current depth)
-    if meta.enable_skydome and config.enable_skydome:
-        if config.skydome_mode == "analytic":
+    if meta.enable_skydome and config.enable_skydome \
+            and "nosky" not in config.ablate:
+        if use_env and env_cell:
+            # The sky texel already rode the env gather; compose it where
+            # the fetch selected the sky row (uncovered pixels).
+            sky_mask = (
+                sky_hit & (sky_depth < depth) & show_env
+                & ~env_cell["covered"]
+            )
+            sky_rgb = gamma_correct(env_cell["sky"][..., :3])
+            color = jnp.where(sky_mask[..., None], sky_rgb, color)
+            depth = jnp.where(sky_mask, sky_depth, depth)
+        elif config.skydome_mode == "analytic":
             color, depth = _skydome_analytic(
                 scene, view, depth, color, show_env, height, width, config,
                 y0,
@@ -702,21 +785,27 @@ def render_rows(
 
     # ---- 4d. background (fullscreen rect at z=1, LESS_OR_EQUAL)
     if meta.enable_background and config.enable_background:
-        yy = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5 + y0) \
-            / config.height
-        xx = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
-        uv = jnp.stack(
-            [jnp.broadcast_to(xx, (height, width)),
-             jnp.broadcast_to(yy, (height, width))], -1,
-        )
-        bg_rgb = gamma_correct(
-            sample_base(
-                scene.bg_tex, jnp.zeros((height, width), jnp.int32), uv,
-                config.background_size, quad=True,
-            )[..., :3]
-        )
-        bg_mask = (depth >= 1.0) & show_env
-        color = jnp.where(bg_mask[..., None], bg_rgb, color)
+        if use_env and env_cell:
+            bg_rgb = gamma_correct(env_cell["bg"][..., :3])
+            bg_mask = (depth >= 1.0) & show_env & ~env_cell["covered"]
+            color = jnp.where(bg_mask[..., None], bg_rgb, color)
+        else:
+            yy = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+                  + y0) / config.height
+            xx = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) \
+                / width
+            uv = jnp.stack(
+                [jnp.broadcast_to(xx, (height, width)),
+                 jnp.broadcast_to(yy, (height, width))], -1,
+            )
+            bg_rgb = gamma_correct(
+                sample_base(
+                    scene.bg_tex, jnp.zeros((height, width), jnp.int32),
+                    uv, config.background_size, quad=True,
+                )[..., :3]
+            )
+            bg_mask = (depth >= 1.0) & show_env
+            color = jnp.where(bg_mask[..., None], bg_rgb, color)
 
     aux = {
         "depth": depth,

@@ -152,9 +152,16 @@ def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
     """Texture tap + TBN shared by the gather path and the fused-kernel
     path (identical math; the fused kernel only replaces how the
     interpolants were produced)."""
-    texels = sample_trilinear_packed(
-        scene.combined_atlas, combo, uv, lod, config.texture_size
-    )  # (H, W, 16)
+    if "notex" in config.ablate:  # diagnostic ablation
+        texels = jnp.broadcast_to(
+            jnp.asarray([0.5] * 3 + [0.5, 0.5, 1.0] + [0.0] * 3
+                        + [0.0, 0.8, 1.0, 1.0] + [0.0] * 3, jnp.float32),
+            uv.shape[:2] + (16,),
+        ) + lod[..., None] * 1e-9
+    else:
+        texels = sample_trilinear_packed(
+            scene.combined_atlas, combo, uv, lod, config.texture_size
+        )  # (H, W, 16)
     base_color = texels[..., 0:3]
     tex_normal = texels[..., 3:6]
     emissive = texels[..., 6:9]

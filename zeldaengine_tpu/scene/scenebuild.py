@@ -145,6 +145,11 @@ class GpuScene(NamedTuple):
     meshlet_records: jnp.ndarray  # (M, 16) from MeshletSet.arrays()
     tri_meshlet: jnp.ndarray  # (T,) int32 meshlet id per triangle (-1 none)
 
+    # Merged environment table (cube reflection + sky + background rows
+    # fused for a one-gather-per-pixel env fetch; None when
+    # config.env_merge is off). Row offsets live in SceneMeta.env_shapes.
+    env_table: Optional[jnp.ndarray] = None  # (R, 208) bf16
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneMeta:
@@ -159,6 +164,9 @@ class SceneMeta:
     has_forward: bool = True
     has_meshlets: bool = False
     num_meshlets: int = 0
+    # (cube (6,S,S/2), sky (1,Ss,Ss/2), bg (1,Sb,Sb/2)) atlas shapes of
+    # the merged env table; None when env_merge is off.
+    env_shapes: Optional[tuple] = None
 
 
 class SceneBuilder:
@@ -576,6 +584,23 @@ class SceneBuilder:
         tri_meshlet_arr = np.full(t_cap, -1, np.int32)
         tri_meshlet_arr[:n_tris] = tri_msh
 
+        cube_atlas = cached_atlas("cube", self.cube_faces, _bma)
+        sky_tex = cached_atlas("sky", self.sky_image[None], _bma)
+        bg_tex = cached_atlas("bg", self.bg_image[None], _bma)
+        env_table = None
+        env_shapes = None
+        if self.config.env_merge:
+            from zeldaengine_tpu.ops.envtap import flatten_env_tables
+            from zeldaengine_tpu.ops.texture import (
+                build_quad_pair_atlas_device as _bqp,
+            )
+
+            cube_qp = cached_atlas("cube_qp", self.cube_faces, _bqp)
+            env_table, _rows = flatten_env_tables(cube_qp, sky_tex, bg_tex)
+            env_shapes = (tuple(cube_qp.shape[:3]),
+                          tuple(sky_tex.shape[:3]),
+                          tuple(bg_tex.shape[:3]))
+
         sky = self._sky_mesh
         scene = GpuScene(
             pair_pos=jnp.asarray(padn(pair_pos, p_cap)),
@@ -598,15 +623,16 @@ class SceneBuilder:
             # storage halves table bytes; 8-bit texture sources carry
             # less precision than bf16 keeps, and samplers cast fetched
             # texels back to f32 before filtering.
-            cube_atlas=cached_atlas("cube", self.cube_faces, _bma),
-            sky_tex=cached_atlas("sky", self.sky_image[None], _bma),
-            bg_tex=cached_atlas("bg", self.bg_image[None], _bma),
+            cube_atlas=cube_atlas,
+            sky_tex=sky_tex,
+            bg_tex=bg_tex,
             sky_pos=jnp.asarray(sky.positions),
             sky_uv=jnp.asarray(sky.uvs),
             sky_tri=jnp.asarray(sky.indices),
             sky_params=jnp.asarray(self._sky_params),
             meshlet_records=jnp.asarray(meshlet_records),
             tri_meshlet=jnp.asarray(tri_meshlet_arr),
+            env_table=env_table,
         )
         meta = SceneMeta(
             enable_skydome=self.enable_skydome,
@@ -619,5 +645,6 @@ class SceneBuilder:
             has_meshlets=bool(self._meshlet_records),
             num_meshlets=int(meshlet_records.shape[0])
             if self._meshlet_records else 0,
+            env_shapes=env_shapes,
         )
         return scene, meta
