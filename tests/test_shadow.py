@@ -189,3 +189,35 @@ def test_pcf_packed4_matches_exact(rng):
                                            scale=scale)),
             np.asarray(compute_pcf(sm2, sc2, radius=radius, scale=scale)),
         )
+
+
+def test_pcf_packed_roll_matches_exact(rng):
+    """The roll-built window table (Pallas, interpret mode here) feeds
+    the same tap logic and must match compute_pcf exactly."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.shadow import (
+        compute_pcf, compute_pcf_packed_roll,
+    )
+
+    dim = 128
+    sm = jnp.asarray(rng.rand(dim, dim).astype(np.float32))
+    h, w = 32, 128
+    u = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    v = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    z = rng.rand(h, w).astype(np.float32)
+    sc = jnp.stack(
+        [jnp.asarray(u), jnp.asarray(v), jnp.asarray(z), jnp.ones((h, w))],
+        -1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(compute_pcf_packed_roll(sm, sc, interpret=True)),
+        np.asarray(compute_pcf(sm, sc)),
+    )
+    for radius, scale in ((1, 1.0), (3, 2.0)):
+        np.testing.assert_array_equal(
+            np.asarray(compute_pcf_packed_roll(sm, sc, radius=radius,
+                                               scale=scale,
+                                               interpret=True)),
+            np.asarray(compute_pcf(sm, sc, radius=radius, scale=scale)),
+        )

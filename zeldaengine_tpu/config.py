@@ -74,8 +74,13 @@ class EngineConfig:
     tile_w: int = 128
     tri_chunk: int = 128
     # Exact-pair binning: triangles whose bbox covers more than this many
-    # tiles fall into a global bucket walked by every tile.
+    # tiles spill to supertile pairs, then to a global bucket walked by
+    # every tile.
     pair_expand: int = 8
+    # Shadow-pass expand (light-space tiles at shadowmap resolution are
+    # coarse; prep cost scales with T*expand while the supertile level
+    # absorbs the spill, so a smaller budget wins).
+    pair_expand_shadow: int = 4
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8

@@ -95,6 +95,15 @@ def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     )  # (w_win, span)
     table = shifts.T  # (span, w_win)
 
+    return _pcf_taps_from_rows(table, wp, dim_y, dim_x, shadow_coord,
+                               radius, scale, bias, lo)
+
+
+def _pcf_taps_from_rows(table, wp: int, dim_y: int, dim_x: int,
+                        shadow_coord, radius: int, scale: float,
+                        bias: float, lo: int):
+    """Shared tap logic over an x-window row table: table[y*wp + x]
+    holds sm[y, x+lo .. x+lo+w-1] (wrap addressing)."""
     w = shadow_coord[..., 3, None]
     sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
     z = sc[..., 2]
@@ -130,6 +139,29 @@ def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
             total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
             count += 1
     return total / count
+
+
+def compute_pcf_packed_roll(shadowmap: jnp.ndarray,
+                            shadow_coord: jnp.ndarray,
+                            radius: int = 2, scale: float = 1.5,
+                            bias: float = 0.0, interpret: bool = False):
+    """compute_pcf_packed with the x-window table built IN KERNEL by
+    circular lane rolls (ops/pcf_pallas.build_pcf_window_table) instead
+    of XLA pad/flatten/shift/transpose — the narrow (w, span) transpose
+    was the dominant in-context PCF cost (ablation 2026-08-17: PCF 54 ms
+    of a 158 ms frame). Exact tap-for-tap vs ``compute_pcf``."""
+    from zeldaengine_tpu.ops.pcf_pallas import build_pcf_window_table
+
+    lo = int(np.floor(-scale * radius))
+    hi = int(np.ceil(scale * radius))
+    if hi - lo + 1 > 8:  # wider than the 8-channel kernel table
+        return compute_pcf_packed(shadowmap, shadow_coord, radius=radius,
+                                  scale=scale, bias=bias)
+    dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
+    table = build_pcf_window_table(shadowmap, lo=lo, hi=hi,
+                                   interpret=interpret)
+    return _pcf_taps_from_rows(table, dim_x, dim_y, dim_x, shadow_coord,
+                               radius, scale, bias, lo)
 
 
 def compute_pcf_packed4(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,

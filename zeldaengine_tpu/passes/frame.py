@@ -152,7 +152,8 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
     if _use_pallas(config, band, height):
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
         pairs = build_pairs(setup, dim, height, config.tile_h,
-                            config.tile_w, expand=config.pair_expand,
+                            config.tile_w,
+                            expand=config.pair_expand_shadow,
                             y0_tiles=y0_tiles)
         return rasterize_pairs(
             pairs, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
@@ -182,10 +183,24 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
             shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
             bias=config.shadow_bias,
         )
+    if config.pcf_backend == "packed_roll" or (
+        config.pcf_backend == "auto"
+        and jax.default_backend() not in ("cpu",)
+        and config.shadowmap_dim % 128 == 0
+    ):
+        # Exact; the x-window table is built by a trivial Pallas kernel
+        # (7 lane rolls) — the XLA build's narrow transpose was the
+        # single largest in-context frame cost (BASELINE.md round 3).
+        from zeldaengine_tpu.ops.shadow import compute_pcf_packed_roll
+
+        return compute_pcf_packed_roll(
+            shadowmap, sc, radius=config.pcf_radius,
+            scale=config.pcf_scale, bias=config.shadow_bias,
+        )
     if config.pcf_backend in ("auto", "packed"):
         # Exact tap-for-tap vs compute_pcf AND faster than the windowed
         # Pallas kernel (whose per-tile clamp is wrong on ~8% of pixels
-        # in footprint-heavy scenes) — the default everywhere.
+        # in footprint-heavy scenes) — the CPU/odd-shape default.
         from zeldaengine_tpu.ops.shadow import compute_pcf_packed
 
         return compute_pcf_packed(
