@@ -210,3 +210,20 @@ def test_sharded_full_features_matches_single_chip(featured_scene):
     d = np.abs(np.asarray(color_8) - np.asarray(color_1)).max(-1)
     assert d.max() < 0.25, d.max()
     assert (d > 1e-4).mean() < 0.12, (d > 1e-4).mean()
+
+
+def test_wireframe_mode(small_scene):
+    """ENABLE_WIREFRAME (polygonMode LINE): only triangle-edge pixels
+    stay covered; interiors fall through to the environment."""
+    cfg, scene, meta, view = small_scene
+    cfg_w = cfg.replace(wireframe=True)
+    _, aux_full = render_frame(scene, view, meta, cfg)
+    _, aux_wire = render_frame(scene, view, meta, cfg_w)
+    cov_full = (np.asarray(aux_full["tri_id"]) >= 0).mean()
+    cov_wire = (np.asarray(aux_wire["tri_id"]) >= 0).mean()
+    assert cov_wire > 0.0  # edges present
+    assert cov_wire < cov_full * 0.6, (cov_wire, cov_full)
+    # Edge pixels keep their full-shading depth; interiors read as empty.
+    d_wire = np.asarray(aux_wire["gbuffer_depth"])
+    covered = np.asarray(aux_wire["tri_id"]) >= 0
+    assert (d_wire[~covered] == 1.0).all()

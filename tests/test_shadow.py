@@ -221,3 +221,33 @@ def test_pcf_packed_roll_matches_exact(rng):
                                                interpret=True)),
             np.asarray(compute_pcf(sm, sc, radius=radius, scale=scale)),
         )
+
+
+def test_pcf_window_roll_matches_exact(rng):
+    """One-gather PCF from the kernel-built 2-D window table (interpret
+    mode) is tap-for-tap identical to compute_pcf."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.shadow import (
+        compute_pcf, compute_pcf_window_roll,
+    )
+
+    dim = 128
+    sm = jnp.asarray(rng.rand(dim, dim).astype(np.float32))
+    h, w = 32, 128
+    u = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    v = rng.rand(h, w).astype(np.float32) * 4.0 - 1.5
+    z = rng.rand(h, w).astype(np.float32)
+    sc = jnp.stack(
+        [jnp.asarray(u), jnp.asarray(v), jnp.asarray(z), jnp.ones((h, w))],
+        -1,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(compute_pcf_window_roll(sm, sc, interpret=True)),
+        np.asarray(compute_pcf(sm, sc)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(compute_pcf_window_roll(sm, sc, radius=1, scale=1.0,
+                                           interpret=True)),
+        np.asarray(compute_pcf(sm, sc, radius=1, scale=1.0)),
+    )

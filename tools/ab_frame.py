@@ -44,6 +44,8 @@ VARIANTS = {
     "fused_pcf_exact": {"raster": "fused", "pcf_backend": "exact"},
     "fused_pcf4b": {"raster": "fused", "pcf_backend": "packed4"},
     "fused_noshadow": {"raster": "fused", "enable_shadow": False},
+    "fused_pcfpacked": {"raster": "fused", "pcf_backend": "packed"},
+    "fused_winroll": {"raster": "fused", "pcf_backend": "window_roll"},
     "ab_nopcf": {"raster": "fused", "ablate": "nopcf"},
     "ab_nolight": {"raster": "fused", "ablate": "nolight"},
     "ab_notex": {"raster": "fused", "ablate": "notex"},

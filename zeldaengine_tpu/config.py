@@ -91,6 +91,13 @@ class EngineConfig:
     pcf_backend: str = "auto"
     pcf_window: int = 256  # Pallas-backend shadow window (texels)
 
+    # Wireframe debug mode (ENABLE_WIREFRAME, ZeldaEngine.cpp:90 /
+    # polygonMode LINE :5108-5110): only pixels within this barycentric
+    # distance of a triangle edge stay covered; interiors fall through
+    # to sky/background, like hardware LINE rasterization.
+    wireframe: bool = False
+    wireframe_threshold: float = 0.02
+
     # Rendering toggles (reference gates ENABLE_DEFERRED_SHADING etc.)
     enable_deferred: bool = True
     enable_shadow: bool = True

@@ -207,6 +207,16 @@ class Engine:
         self.roll_light = 0.0
         self._start_time = time.time()
 
+    def set_wireframe(self, enabled: bool) -> None:
+        """ENABLE_WIREFRAME toggle (the reference bakes it at compile
+        time, ZeldaEngine.cpp:90; here a config swap re-jits — same
+        mechanism as resize)."""
+        if enabled == self.config.wireframe:
+            return
+        with self.lock:
+            self.config = self.config.replace(wireframe=enabled)
+            self._inflight = None
+
     def resize(self, width: int, height: int) -> None:
         """Runtime resolution change — the RecreateSwapChain analogue
         (ZeldaEngine.cpp:2311-2335). The config is a static jit argument,

@@ -306,3 +306,54 @@ def build_pcf_window_table(shadowmap, lo: int = -3, hi: int = 3,
         interpret=interpret,
     )(shadowmap)
     return out
+
+
+def _window2d_table_kernel(sm_ref, out_ref, scratch_ref, *, lo_x, lo_y,
+                           w_y, d_y, d_x, rows_per_step):
+    """out[(y*d_x + x), dy*8 + dx] = sm[(y+lo_y+dy) % D, (x+lo_x+dx) % D]
+    — the FULL 2-D PCF window per texel, built from dynamic row slices
+    (y wrap by scalar mod) + circular lane rolls, one in-kernel
+    transpose per texel row."""
+    step = pl.program_id(0)
+    for k in range(rows_per_step):
+        y = step * rows_per_step + k
+        for dy in range(w_y):
+            ys = jax.lax.rem(y + lo_y + dy + d_y, d_y)
+            row = sm_ref[pl.ds(ys, 1), :]  # (1, d_x)
+            for dx in range(8):
+                scratch_ref[dy * 8 + dx : dy * 8 + dx + 1, :] = (
+                    pltpu.roll(row, (-(lo_x + dx)) % d_x, axis=1)
+                )
+        out_ref[pl.ds(k * d_x, d_x), :] = jnp.swapaxes(
+            scratch_ref[:, :], 0, 1
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("lo_x", "lo_y", "w_y",
+                                             "rows_per_step", "interpret"))
+def build_pcf_window2d_table(shadowmap, lo_x: int = -3, lo_y: int = -3,
+                             w_y: int = 7, rows_per_step: int = 4,
+                             interpret: bool = False):
+    """One-gather PCF: the whole (w_y x 8) window of every shadow texel
+    in one table row (w_y*8 channels; 224 B at the reference radius —
+    row width is nearly free, and this turns PCF's 5 gathers into ONE,
+    relieving the frame's gather super-additivity)."""
+    d_y, d_x = shadowmap.shape
+    n_ch = w_y * 8
+    grid = (d_y // rows_per_step,)
+    out = pl.pallas_call(
+        functools.partial(_window2d_table_kernel, lo_x=lo_x, lo_y=lo_y,
+                          w_y=w_y, d_y=d_y, d_x=d_x,
+                          rows_per_step=rows_per_step),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows_per_step * d_x, n_ch),
+                               lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((d_y * d_x, n_ch), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_ch, d_x), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(shadowmap)
+    return out

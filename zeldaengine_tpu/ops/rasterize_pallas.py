@@ -702,7 +702,11 @@ def _pair_fused_kernel(
         0.5 * jnp.log2(jnp.maximum(foot * (ts * ts), 1e-12)), 0.0
     )
 
-    attr_ref[0] = covered.astype(jnp.float32)
+    # Plane 0 packs coverage (+1.0) with the min barycentric weight
+    # (edge distance for the wireframe debug mode); b's are zero for
+    # uncovered pixels, so the covered test stays plane > 0.5.
+    bmin = jnp.minimum(jnp.minimum(b0, b1), b2)
+    attr_ref[0] = covered.astype(jnp.float32) * (1.0 + bmin)
     attr_ref[1] = A(12)
     attr_ref[2] = interp(0, b0, b1, b2)
     attr_ref[3] = interp(1, b0, b1, b2)

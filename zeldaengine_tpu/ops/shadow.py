@@ -237,6 +237,83 @@ def compute_pcf_packed4(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     return total / count
 
 
+def compute_pcf_window_roll(shadowmap: jnp.ndarray,
+                            shadow_coord: jnp.ndarray,
+                            radius: int = 2, scale: float = 1.5,
+                            bias: float = 0.0, interpret: bool = False):
+    """ComputePCF with ONE gather per pixel from a kernel-built 2-D
+    window table (ops/pcf_pallas.build_pcf_window2d_table): row
+    (y*D + x) holds the full (w_y x 8) neighborhood
+    sm[(y+lo..y+hi) % D, (x+lo..x+lo+7) % D]. All 25 taps resolve from
+    the fetched row with <=4-way static-channel selects. Turns PCF's 5
+    row gathers into one — in-context, gathers in one XLA program
+    compose super-additively — with the table built by lane rolls
+    instead of XLA's catastrophic narrow relayouts. Exact tap-for-tap
+    vs ``compute_pcf``."""
+    lo = int(np.floor(-scale * radius))
+    hi = int(np.ceil(scale * radius))
+    w_win = hi - lo + 1
+    if w_win > 8:
+        return compute_pcf_packed(shadowmap, shadow_coord, radius=radius,
+                                  scale=scale, bias=bias)
+    from zeldaengine_tpu.ops.pcf_pallas import build_pcf_window2d_table
+
+    dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
+    table = build_pcf_window2d_table(shadowmap, lo_x=lo, lo_y=lo,
+                                     w_y=w_win, interpret=interpret)
+
+    w = shadow_coord[..., 3, None]
+    sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
+    z = sc[..., 2]
+    w_post = sc[..., 3]
+    in_range = (z > -1.0) & (z < 1.0) & (w_post > 0.0)
+    z_cmp = z - bias
+    fx = sc[..., 0] * dim_x
+    fy = sc[..., 1] * dim_y
+    xb = jnp.floor(fx)
+    yb = jnp.floor(fy)
+    xm = jnp.mod(xb.astype(jnp.int32), dim_x)
+    ym = jnp.mod(yb.astype(jnp.int32), dim_y)
+    row = table[ym * dim_x + xm]  # (..., w_win*8) — THE one gather
+
+    frx = fx - xb
+    fry = fy - yb
+    total = 0.0
+    count = 0
+    for oy in range(-radius, radius + 1):
+        so_y = scale * oy
+        cy0 = int(np.floor(so_y)) - lo
+        thr_y = None if so_y == np.floor(so_y) else np.ceil(so_y) - so_y
+        for ox in range(-radius, radius + 1):
+            so_x = scale * ox
+            cx0 = int(np.floor(so_x)) - lo
+            if so_x == np.floor(so_x):
+                if thr_y is None:
+                    dist = row[..., cy0 * 8 + cx0]
+                else:
+                    dist = jnp.where(fry >= thr_y,
+                                     row[..., (cy0 + 1) * 8 + cx0],
+                                     row[..., cy0 * 8 + cx0])
+            else:
+                thr_x = np.ceil(so_x) - so_x
+                if thr_y is None:
+                    dist = jnp.where(frx >= thr_x,
+                                     row[..., cy0 * 8 + cx0 + 1],
+                                     row[..., cy0 * 8 + cx0])
+                else:
+                    d00 = row[..., cy0 * 8 + cx0]
+                    d01 = row[..., cy0 * 8 + cx0 + 1]
+                    d10 = row[..., (cy0 + 1) * 8 + cx0]
+                    d11 = row[..., (cy0 + 1) * 8 + cx0 + 1]
+                    dx_lo = jnp.where(frx >= thr_x, d01, d00)
+                    dx_hi = jnp.where(frx >= thr_x, d11, d10)
+                    dist = jnp.where(fry >= thr_y, dx_hi, dx_lo)
+            occluded = in_range & (dist < z_cmp)
+            total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
+            count += 1
+    return total / count
+
+
 def compute_pcf_window1(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                         radius: int = 2, scale: float = 1.5,
                         bias: float = 0.0):

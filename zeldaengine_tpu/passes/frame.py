@@ -146,6 +146,20 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
             planes[:, :height, :width])
 
 
+def _apply_wireframe(attrs: SurfaceAttributes, depth, tid,
+                     config: EngineConfig, fallback_depth=None):
+    """ENABLE_WIREFRAME (polygonMode LINE): keep only edge pixels
+    covered; interiors fall through to whatever is behind (the previous
+    pass's depth, else sky/bg), matching hardware LINE rasterization of
+    the same triangles."""
+    edge = attrs.covered & (attrs.bary_min < config.wireframe_threshold)
+    attrs = attrs._replace(covered=edge)
+    fb = 1.0 if fallback_depth is None else fallback_depth
+    depth = jnp.where(edge, depth, fb)
+    tid = jnp.where(edge, tid, -1)
+    return attrs, depth, tid
+
+
 def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                   band: bool = False, rows=None):
     height = rows if rows is not None else dim
@@ -182,6 +196,14 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
         return compute_pcf_window1(
             shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
             bias=config.shadow_bias,
+        )
+    if config.pcf_backend == "window_roll" and config.shadowmap_dim % 128 == 0:
+        # ONE gather per pixel from the kernel-built 2-D window table.
+        from zeldaengine_tpu.ops.shadow import compute_pcf_window_roll
+
+        return compute_pcf_window_roll(
+            shadowmap, sc, radius=config.pcf_radius,
+            scale=config.pcf_scale, bias=config.shadow_bias,
         )
     if config.pcf_backend == "packed_roll" or (
         config.pcf_backend == "auto"
@@ -724,6 +746,10 @@ def render_rows(
             attrs_d = surface_attributes(
                 scene, setup, tid_d, world, n_world, config, y0=y0
             )
+        if config.wireframe:
+            attrs_d, depth_d, tid_d = _apply_wireframe(
+                attrs_d, depth_d, tid_d, config
+            )
         gbuf = pack_gbuffer(attrs_d, depth_d)
         # ---- 4a. deferred lighting (fullscreen, no depth test)
         color = resolve_lighting(
@@ -759,6 +785,10 @@ def render_rows(
             )
             attrs_f = surface_attributes(
                 scene, setup_f, tid_f, world, n_world, config, y0=y0
+            )
+        if config.wireframe:
+            attrs_f, depth, tid_f = _apply_wireframe(
+                attrs_f, depth, tid_f, config, fallback_depth=depth_d
             )
         fwd_mask = tid_f >= 0
         fwd_env_cell = {}

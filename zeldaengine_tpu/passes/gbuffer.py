@@ -39,6 +39,10 @@ class SurfaceAttributes(NamedTuple):
     ao: jnp.ndarray  # (H, W)
     emissive: jnp.ndarray  # (H, W, 3)
     mask: jnp.ndarray  # (H, W)
+    # Minimum barycentric weight of the covering triangle (0 at edges):
+    # drives the wireframe debug mode (ENABLE_WIREFRAME / polygonMode
+    # LINE, ZeldaEngine.cpp:90, :5108-5110). None when not computed.
+    bary_min: jnp.ndarray | None = None
 
 
 def surface_attributes(
@@ -140,15 +144,16 @@ def surface_attributes(
     # ONE gather per pixel returns every material texture's 2x2 bilinear
     # footprint at level l plus the 3x3 at level l+1.
     combo = scene.mat_combined[mat_id]  # (H, W)
+    bary_min = jnp.where(covered, jnp.min(bary, axis=-1), 0.0)
     return _finish_attributes(
         scene, config, covered, combo, uv, lod, vertex_color, world_pos,
-        frag_normal, duv_dx, duv_dy, dpos_dx, dpos_dy,
+        frag_normal, duv_dx, duv_dy, dpos_dx, dpos_dy, bary_min=bary_min,
     )
 
 
 def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
                        world_pos, frag_normal, duv_dx, duv_dy, dpos_dx,
-                       dpos_dy) -> SurfaceAttributes:
+                       dpos_dy, bary_min=None) -> SurfaceAttributes:
     """Texture tap + TBN shared by the gather path and the fused-kernel
     path (identical math; the fused kernel only replaces how the
     interpolants were produced)."""
@@ -185,6 +190,7 @@ def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
         ao=ao,
         emissive=emissive,
         mask=mask,
+        bary_min=bary_min,
     )
 
 
@@ -200,6 +206,8 @@ def surface_attributes_from_planes(
         return jnp.moveaxis(planes[lo:hi], 0, -1)
 
     covered = planes[0] > 0.5
+    # Plane 0 packs covered (+1.0) with the min barycentric weight.
+    bary_min = jnp.maximum(planes[0] - 1.0, 0.0)
     # Combo rides as a float VALUE (not a bitcast — TPU flushes denormal
     # bit patterns); round back to the layer index.
     combo = jnp.round(planes[1]).astype(jnp.int32)
@@ -208,7 +216,7 @@ def surface_attributes_from_planes(
         uv=v(2, 4), lod=planes[4], vertex_color=v(5, 8),
         world_pos=v(8, 11), frag_normal=v(11, 14),
         duv_dx=v(14, 16), duv_dy=v(16, 18),
-        dpos_dx=v(18, 21), dpos_dy=v(21, 24),
+        dpos_dx=v(18, 21), dpos_dy=v(21, 24), bary_min=bary_min,
     )
 
 
