@@ -103,6 +103,9 @@ def main() -> None:
     parser.add_argument("--profile", action="store_true",
                         help="per-pass ms breakdown (profiling.py)")
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--no-golden", action="store_true",
+                        help="skip the cross-backend golden check that "
+                             "normally gates the headline config")
     args = parser.parse_args()
 
     import jax
@@ -360,6 +363,23 @@ def main() -> None:
         compile_s=round(compile_s, 1),
         config=args.config,
     )
+
+    if args.config == 3 and not args.no_golden:
+        # Hardware golden gate (VERDICT r2 #9): every headline bench run
+        # re-validates the TPU kernels against the CPU goldens — the one
+        # check that catches TPU-only numeric regressions (it caught the
+        # denormal-flushed material ids in round 2).
+        import os
+        import subprocess
+
+        r = subprocess.run(
+            ["python", os.path.join(os.path.dirname(__file__) or ".",
+                                    "tools", "tpu_golden_check.py")],
+            capture_output=True, text=True, timeout=3600,
+        )
+        detail["golden_check"] = "ok" if r.returncode == 0 else "FAIL"
+        if r.returncode != 0:
+            detail["golden_check_tail"] = r.stdout[-300:] + r.stderr[-300:]
     if args.verbose:
         print(f"# {detail}", flush=True)
     print(

@@ -251,3 +251,24 @@ def test_pcf_window_roll_matches_exact(rng):
                                            interpret=True)),
         np.asarray(compute_pcf(sm, sc, radius=1, scale=1.0)),
     )
+
+
+def test_pcf_packed_groups_match_exact(rng):
+    """Group-fused row tables (4/8/16 bases per row) are all exact."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.shadow import compute_pcf, compute_pcf_packed4
+
+    dim = 128
+    sm = jnp.asarray(rng.rand(dim, dim).astype(np.float32))
+    h, w = 16, 64
+    sc = jnp.stack(
+        [jnp.asarray(rng.rand(h, w).astype(np.float32) * 3 - 1),
+         jnp.asarray(rng.rand(h, w).astype(np.float32) * 3 - 1),
+         jnp.asarray(rng.rand(h, w).astype(np.float32)),
+         jnp.ones((h, w))], -1,
+    )
+    want = np.asarray(compute_pcf(sm, sc))
+    for group in (2, 4, 8, 16):
+        got = np.asarray(compute_pcf_packed4(sm, sc, group=group))
+        np.testing.assert_array_equal(got, want, err_msg=f"group={group}")

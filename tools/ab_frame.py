@@ -43,6 +43,8 @@ VARIANTS = {
     "fused_env": {"raster": "fused", "env_merge": True},
     "fused_pcf_exact": {"raster": "fused", "pcf_backend": "exact"},
     "fused_pcf4b": {"raster": "fused", "pcf_backend": "packed4"},
+    "fused_pcf8": {"raster": "fused", "pcf_backend": "packed8"},
+    "fused_pcf16": {"raster": "fused", "pcf_backend": "packed16"},
     "fused_noshadow": {"raster": "fused", "enable_shadow": False},
     "fused_pcfpacked": {"raster": "fused", "pcf_backend": "packed"},
     "fused_winroll": {"raster": "fused", "pcf_backend": "window_roll"},
@@ -51,6 +53,7 @@ VARIANTS = {
     "ab_notex": {"raster": "fused", "ablate": "notex"},
     "ab_noswitch": {"raster": "fused", "ablate": "noswitch"},
     "ab_nosky": {"raster": "fused", "ablate": "nosky"},
+    "ab_pcfbuild": {"raster": "fused", "ablate": "pcfbuild"},
     "ab_bare": {"raster": "fused",
                 "ablate": "nopcf,nolight,notex,noswitch,nosky",
                 "enable_shadow": False},

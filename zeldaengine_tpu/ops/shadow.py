@@ -56,7 +56,7 @@ def _shadow_tap(shadowmap: jnp.ndarray, sc, offset_u, offset_v, bias=0.0):
 
 def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                        radius: int = 2, scale: float = 1.5,
-                       bias: float = 0.0):
+                       bias: float = 0.0, _ablate_const_table: bool = False):
     """ComputePCF via a row-packed shadow table: EXACT (matches
     ``compute_pcf`` tap-for-tap everywhere, including grazing angles where
     the windowed Pallas kernel clamps) at (2r+1) gathers per pixel.
@@ -84,16 +84,22 @@ def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     # fast — measured 3.5x faster than a full 2-D-window table at 1080p.
     sm_p = jnp.pad(shadowmap, ((0, 0), (-lo, hi)), mode="wrap")
     wp = dim_x + w_win - 1
-    flat = sm_p.reshape(-1)
-    span = (dim_y - 1) * wp + dim_x
-    shifts = jnp.stack(
-        [
-            jax.lax.dynamic_slice(flat, (dx,), (span,))
-            for dx in range(w_win)
-        ],
-        0,
-    )  # (w_win, span)
-    table = shifts.T  # (span, w_win)
+    if _ablate_const_table:
+        # DIAGNOSTIC: skip the table build (gather from a broadcast) to
+        # attribute PCF cost between build and gathers.
+        span = (dim_y - 1) * wp + dim_x
+        table = jnp.broadcast_to(shadowmap[:1, :w_win], (span, w_win))
+    else:
+        flat = sm_p.reshape(-1)
+        span = (dim_y - 1) * wp + dim_x
+        shifts = jnp.stack(
+            [
+                jax.lax.dynamic_slice(flat, (dx,), (span,))
+                for dx in range(w_win)
+            ],
+            0,
+        )  # (w_win, span)
+        table = shifts.T  # (span, w_win)
 
     return _pcf_taps_from_rows(table, wp, dim_y, dim_x, shadow_coord,
                                radius, scale, bias, lo)
@@ -166,34 +172,36 @@ def compute_pcf_packed_roll(shadowmap: jnp.ndarray,
 
 def compute_pcf_packed4(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                         radius: int = 2, scale: float = 1.5,
-                        bias: float = 0.0):
-    """compute_pcf_packed with 4 x-adjacent bases fused per table row:
-    4x fewer gather-table rows ((dim*wp)/4 ~ 264k at 1024^2, under the
-    ~200k-row knee where TPU gather cost drops to ~5 ms/2M-pixel pass),
-    at the cost of a per-row 4-way align-select. Exact tap-for-tap vs
-    ``compute_pcf``.
+                        bias: float = 0.0, group: int = 4):
+    """compute_pcf_packed with ``group`` x-adjacent bases fused per table
+    row: group-x fewer gather-table rows (dim*wp/group — under the
+    ~200k-row knee TPU gather cost drops from ~10-13 ms to ~5 ms per
+    2M-pixel pass in-context), at the cost of log2(group) binary
+    align-selects per tap ROW (the whole window shifts at once, not per
+    tap). Exact tap-for-tap vs ``compute_pcf``.
 
-    Table row q holds g[4q .. 4q+4+W-2] where g is the x-wrap-padded
-    shadowmap flattened row-major and W the x-window span; the window of
-    base texel (y, x) starts at g[y*wp + x] = channel (f0 % 4) of row
-    f0 // 4.
+    Table row q holds g[group*q .. group*q + group + W - 2] where g is
+    the x-wrap-padded shadowmap flattened row-major and W the x-window
+    span; the window of base texel (y, x) starts at g[y*wp + x] =
+    channel (f0 % group) of row f0 // group.
     """
+    assert group in (2, 4, 8, 16)
     lo = int(np.floor(-scale * radius))
     hi = int(np.ceil(scale * radius))
     w_win = hi - lo + 1
-    n_ch = w_win + 3  # 4 bases share a row
+    n_ch = w_win + group - 1  # `group` bases share a row
     dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
 
     sm_p = jnp.pad(shadowmap, ((0, 0), (-lo, hi)), mode="wrap")
     wp = dim_x + w_win - 1
     g = sm_p.reshape(-1)
-    nq = (dim_y * wp + 3) // 4
-    # table[q, c] = g[4q + c] built from CONTIGUOUS row-shifted views of
-    # g reshaped (nq+2, 4) — strided slices lower to catastrophic
-    # relayouts on TPU (the stride-4 build measured +98 ms/frame).
-    n_rows = -(-n_ch // 4) + 1
-    g2 = jnp.pad(g, (0, (nq + n_rows) * 4 - g.shape[0])) \
-        .reshape(nq + n_rows, 4)
+    nq = (dim_y * wp + group - 1) // group
+    # table[q, c] = g[group*q + c] built from CONTIGUOUS row-shifted
+    # views of g reshaped (nq+k, group) — strided slices lower to
+    # catastrophic relayouts on TPU (measured +98 ms/frame).
+    n_rows = -(-n_ch // group) + 1
+    g2 = jnp.pad(g, (0, (nq + n_rows) * group - g.shape[0])) \
+        .reshape(nq + n_rows, group)
     parts = [g2[k : nq + k] for k in range(n_rows)]
     table = jnp.concatenate(parts, axis=1)[:, :n_ch]  # (nq, n_ch)
 
@@ -213,15 +221,20 @@ def compute_pcf_packed4(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     for oy in range(-radius, radius + 1):
         iy = jnp.mod(jnp.floor(fy + scale * oy).astype(jnp.int32), dim_y)
         f0 = iy * wp + xm
-        q = f0 >> 2
-        m = f0 & 3
-        raw = table[q]  # (..., n_ch) = g[4q .. 4q+n_ch-1]
-        # Align: row[c] = g[f0 + c] = raw[m + c]; m in 0..3 -> two binary
+        q = f0 // group
+        m = f0 % group
+        raw = table[q]  # (..., n_ch) = g[group*q .. group*q+n_ch-1]
+        # Align: row[c] = g[f0 + c] = raw[m + c]; log2(group) binary
         # selects shift the whole window at once.
-        b1 = (m & 2)[..., None] != 0
-        half = jnp.where(b1, raw[..., 2:], raw[..., : n_ch - 2])
-        b0 = (m & 1)[..., None] != 0
-        row = jnp.where(b0, half[..., 1 : w_win + 1], half[..., :w_win])
+        row = raw
+        shift = group >> 1
+        while shift:
+            b = (m & shift)[..., None] != 0
+            keep = row.shape[-1] - shift
+            row = jnp.where(b, row[..., shift : shift + keep],
+                            row[..., :keep])
+            shift >>= 1
+        row = row[..., :w_win]
         for ox in range(-radius, radius + 1):
             so = scale * ox
             c0 = int(np.floor(so)) - lo

@@ -66,12 +66,17 @@ def _use_pallas(config: EngineConfig, band: bool, height: int) -> bool:
 def _use_fused(config: EngineConfig, band: bool, height: int) -> bool:
     """Fused raster+interpolate kernel (visibility passes that feed
     surface attributes). Requires tile_w == 128 (the in-kernel record
-    fetch is a 128-lane dynamic gather)."""
+    fetch is a 128-lane dynamic gather). The TPU default since round 3
+    (-21 ms vs raster+XLA-gather+interp at the demo scale; equality
+    tests in tests/test_fused.py, hardware goldens in
+    tools/tpu_golden_check.py)."""
     if config.tile_w != 128:
         return False
     if not _use_pallas(config, band, height):
         return False
-    return config.raster == "fused"
+    if config.raster == "fused":
+        return True
+    return config.raster == "auto" and jax.default_backend() not in ("cpu",)
 
 
 def _pad_up(n: int, m: int) -> int:
@@ -181,13 +186,14 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
     if "nopcf" in config.ablate:  # diagnostic ablation
         return jnp.ones(world_pos.shape[:-1], jnp.float32)
     sc = compute_shadow_coord(view.shadow_space, world_pos)
-    if config.pcf_backend == "packed4":
-        # Quad-fused row table: 4x fewer gather rows (exact).
+    if config.pcf_backend in ("packed4", "packed8", "packed16"):
+        # Group-fused row table: 4-16x fewer gather rows (exact).
         from zeldaengine_tpu.ops.shadow import compute_pcf_packed4
 
         return compute_pcf_packed4(
             shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
             bias=config.shadow_bias,
+            group=int(config.pcf_backend[len("packed"):]),
         )
     if config.pcf_backend == "window1":
         # ONE gather per pixel from a 2-D window table (exact).
@@ -205,14 +211,12 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
             shadowmap, sc, radius=config.pcf_radius,
             scale=config.pcf_scale, bias=config.shadow_bias,
         )
-    if config.pcf_backend == "packed_roll" or (
-        config.pcf_backend == "auto"
-        and jax.default_backend() not in ("cpu",)
-        and config.shadowmap_dim % 128 == 0
+    if config.pcf_backend == "packed_roll" and (
+        config.shadowmap_dim % 128 == 0
     ):
-        # Exact; the x-window table is built by a trivial Pallas kernel
-        # (7 lane rolls) — the XLA build's narrow transpose was the
-        # single largest in-context frame cost (BASELINE.md round 3).
+        # Exact; x-window table built by a Pallas roll kernel. Measured
+        # +10 ms vs the XLA build at 1080p (the per-row transposes cost
+        # more than XLA's relayout) — kept as an option, not the default.
         from zeldaengine_tpu.ops.shadow import compute_pcf_packed_roll
 
         return compute_pcf_packed_roll(
@@ -222,12 +226,14 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
     if config.pcf_backend in ("auto", "packed"):
         # Exact tap-for-tap vs compute_pcf AND faster than the windowed
         # Pallas kernel (whose per-tile clamp is wrong on ~8% of pixels
-        # in footprint-heavy scenes) — the CPU/odd-shape default.
+        # in footprint-heavy scenes) — the default. Every round-3
+        # alternative measured slower (BASELINE.md A/B ledger).
         from zeldaengine_tpu.ops.shadow import compute_pcf_packed
 
         return compute_pcf_packed(
             shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
             bias=config.shadow_bias,
+            _ablate_const_table="pcfbuild" in config.ablate,
         )
     if config.pcf_backend == "pallas" and sc.ndim == 3:
         from zeldaengine_tpu.ops.pcf_pallas import compute_pcf_pallas
