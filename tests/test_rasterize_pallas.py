@@ -89,3 +89,32 @@ def test_pairs_init_depth(rng):
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth),
                                atol=5e-5)
     assert (np.asarray(tid) != np.asarray(ref_tid)).mean() < 0.01
+
+
+def test_build_pairs_max_pairs_cap(rng):
+    """A generous max_pairs cap is a no-op (dead pairs sort last, so the
+    live prefix survives the slice); a tiny cap truncates and reports
+    the dropped live-pair count (VERDICT r2 #2 cull-aware prep)."""
+    from zeldaengine_tpu.ops.rasterize_pallas import (
+        build_pairs,
+        rasterize_pairs,
+    )
+
+    setup = _random_setup(rng, n=200)
+    full = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8)
+    live = int(full.gbounds[1])
+    assert live > 0
+    cap_ok = ((live + 255) // 128) * 128
+    capped = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
+                         max_pairs=cap_ok)
+    assert int(capped.overflow) == 0
+    d0, t0 = rasterize_pairs(full, H, W, tile_h=TILE_H, tile_w=TILE_W,
+                             interpret=True)
+    d1, t1 = rasterize_pairs(capped, H, W, tile_h=TILE_H, tile_w=TILE_W,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    tiny = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
+                       max_pairs=128)
+    assert int(tiny.overflow) == max(live - 128, 0)

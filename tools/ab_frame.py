@@ -57,11 +57,29 @@ VARIANTS = {
     "ab_bare": {"raster": "fused",
                 "ablate": "nopcf,nolight,notex,noswitch,nosky",
                 "enable_shadow": False},
+    "ab_noattrs": {"raster": "fused",
+                   "ablate": "noattrs,nopcf,nolight,notex,noswitch,nosky",
+                   "enable_shadow": False},
     "fused_env_caps": {"raster": "fused", "env_merge": True,
                        "_adaptive_caps": True},
     "fused_env_caps_tiled": {"raster": "fused", "env_merge": True,
                              "_adaptive_caps": True,
                              "tiled_lights_min": 9},
+    # Round-3b: half-res PCF (4x fewer gather indices) + pair caps.
+    "fused_pcfhalf": {"raster": "fused", "pcf_backend": "half"},
+    "fused_pcfhalfn": {"raster": "fused", "pcf_backend": "half_nearest"},
+    "fused_cap384": {"raster": "fused", "max_pairs": 384 * 1024,
+                     "max_pairs_shadow": 256 * 1024},
+    "fused_cap256": {"raster": "fused", "max_pairs": 256 * 1024,
+                     "max_pairs_shadow": 192 * 1024},
+    "fused_half_cap": {"raster": "fused", "pcf_backend": "half",
+                       "max_pairs": 384 * 1024,
+                       "max_pairs_shadow": 256 * 1024},
+    # Demo-scene live pairs measured 174k vis / 126k shadow (25% / 36%
+    # of capacity): 192k/144k leaves ~10% headroom.
+    "fused_cap192": {"raster": "fused", "max_pairs": 192 * 1024,
+                     "max_pairs_shadow": 144 * 1024},
+    "fused_halfwr": {"raster": "fused", "pcf_backend": "half_wr"},
 }
 
 

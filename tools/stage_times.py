@@ -1,0 +1,218 @@
+"""Floor decomposition: steady-state times for the frame's serial stages.
+
+The whole-frame ablation ledger (BASELINE.md) attributes PCF/texture/
+lighting/sky, but the remaining "bare floor" (~56 ms with everything
+ablated) spans vertex+prep+fused kernel+pack+compose. This tool times
+the stages in isolation with the same in-jit scan protocol:
+
+  prep    vertex transform + triangle_setup + fused extra + build_pairs
+  kernel  rasterize_pairs_fused over FIXED pairs (prep hoisted out of the
+          scan as loop-invariant; the carry perturbs init_depth so the
+          kernel itself cannot hoist)
+  shprep  shadow-pass triangle_setup + build_pairs
+  shkern  depth-only pair kernel over fixed shadow pairs
+
+Usage: python tools/stage_times.py --stages prep,kernel,shprep,shkern
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def steady_ms(make_fn, frames=6, reps=4):
+    """make_fn(n) -> zero-arg jitted callable returning a scalar."""
+    import jax  # noqa: F401
+
+    def run(n):
+        f = make_fn(n)
+        t0 = time.time()
+        float(f())
+        comp = time.time() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(f())
+            ts.append(time.time() - t0)
+        return float(np.median(ts)), comp
+
+    (t1, c1), (t2, c2) = run(1), run(max(frames, 2))
+    return (t2 - t1) / (max(frames, 2) - 1) * 1000.0, c1 + c2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", type=str, default="prep,kernel")
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--grass", type=int, default=10000)
+    ap.add_argument("--rocks", type=int, default=65)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.config import EngineConfig
+    from zeldaengine_tpu.math.transforms import apply_mat4_h, apply_mat4_point
+    from zeldaengine_tpu.ops import pbr
+    from zeldaengine_tpu.ops.rasterize import triangle_setup
+    from zeldaengine_tpu.ops.rasterize_pallas import (
+        build_pairs,
+        rasterize_pairs,
+        rasterize_pairs_fused,
+    )
+    from zeldaengine_tpu.passes.frame import _fused_extra, _pad_up
+    from zeldaengine_tpu.passes.view import build_view_state
+    from zeldaengine_tpu.scene.demo import build_demo_scene
+
+    config = EngineConfig(width=1920, height=1080)
+    t0 = time.time()
+    scene, meta, world = build_demo_scene(config, grass=args.grass,
+                                          rocks=args.rocks)
+    print(f"# scene build {time.time()-t0:.1f}s tris={meta.num_triangles}",
+          flush=True)
+    view = build_view_state(world, config, time=0.0,
+                            light_capacities=(8, 16, 8))
+    ph = _pad_up(config.height, config.tile_h)
+    pw = _pad_up(config.width, config.tile_w)
+
+    def vertex_setup(scene, view, dt):
+        world_p = apply_mat4_point(view.model, scene.pair_pos)
+        n1 = apply_mat4_point(view.model, pbr.normalize(scene.pair_nrm))
+        n_world = jnp.einsum(
+            "pij,pj->pi", scene.rot_table[scene.pair_rot], n1,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        clip = apply_mat4_h(view.view_proj, world_p)
+        # dt folds the scan carry in so nothing hoists.
+        setup = triangle_setup(
+            clip[scene.tri_vtx] + dt, pw, config.height,
+            two_sided=scene.tri_two_sided,
+            valid_mask=scene.tri_valid & scene.tri_deferred,
+        )
+        return setup, world_p, n_world
+
+    def prep_fn(scene, view, dt):
+        setup, world_p, n_world = vertex_setup(scene, view, dt)
+        extra = _fused_extra(scene, setup, world_p, n_world)
+        pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
+                            expand=config.pair_expand, extra=extra)
+        return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
+                + jnp.sum(pairs.pair_tri))
+
+    def sh_prep_fn(scene, view, dt):
+        world_p = apply_mat4_point(view.model, scene.pair_pos)
+        clip_sh = apply_mat4_h(view.shadow_space, world_p)
+        setup = triangle_setup(
+            clip_sh[scene.tri_vtx] + dt, config.shadowmap_dim,
+            config.shadowmap_dim, two_sided=True,
+            valid_mask=scene.tri_valid,
+            depth_bias=(config.shadow_bias_constant,
+                        config.shadow_bias_slope),
+        )
+        pairs = build_pairs(setup, config.shadowmap_dim,
+                            config.shadowmap_dim, config.tile_h,
+                            config.tile_w,
+                            expand=config.pair_expand_shadow)
+        return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
+                + jnp.sum(pairs.pair_tri))
+
+    def make_scan(body):
+        def make(n):
+            @jax.jit
+            def f(scene, view):
+                def sbody(c, i):
+                    return c + body(scene, view, c * 1e-30) * 1e-12, 0.0
+
+                c, _ = jax.lax.scan(sbody, jnp.float32(0), jnp.arange(n))
+                return c
+
+            return lambda: f(scene, view)
+
+        return make
+
+    stages = {}
+
+    for name in args.stages.split(","):
+        if name == "prep":
+            ms, comp = steady_ms(make_scan(prep_fn), frames=args.frames)
+        elif name == "shprep":
+            ms, comp = steady_ms(make_scan(sh_prep_fn), frames=args.frames)
+        elif name == "kernel":
+            def body(scene, view, dt, _=None):
+                setup, world_p, n_world = vertex_setup(scene, view, 0.0)
+                extra = _fused_extra(scene, setup, world_p, n_world)
+                pairs = build_pairs(setup, pw, ph, config.tile_h,
+                                    config.tile_w,
+                                    expand=config.pair_expand, extra=extra)
+                # pairs are loop-invariant (hoisted); init_depth carries dt
+                init = jnp.ones((ph, pw), jnp.float32) + dt
+                d, tid, planes = rasterize_pairs_fused(
+                    pairs, ph, pw, init_depth=init,
+                    tile_h=config.tile_h, tile_w=config.tile_w,
+                    sub_rows=config.sub_rows,
+                    texture_size=config.texture_size,
+                )
+                return jnp.sum(d) + jnp.sum(planes[1])
+
+            ms, comp = steady_ms(make_scan(body), frames=args.frames)
+        elif name == "kernel1":
+            # Phase-1-only visibility kernel (no fused attr fetch):
+            # kernel - kernel1 = the phase-2 record-fetch cost.
+            def body(scene, view, dt, _=None):
+                setup, world_p, n_world = vertex_setup(scene, view, 0.0)
+                pairs = build_pairs(setup, pw, ph, config.tile_h,
+                                    config.tile_w,
+                                    expand=config.pair_expand)
+                init = jnp.ones((ph, pw), jnp.float32) + dt
+                d, tid = rasterize_pairs(
+                    pairs, ph, pw, init_depth=init,
+                    tile_h=config.tile_h, tile_w=config.tile_w,
+                    sub_rows=config.sub_rows,
+                )
+                return jnp.sum(d) + jnp.sum(tid)
+
+            ms, comp = steady_ms(make_scan(body), frames=args.frames)
+        elif name == "shkern":
+            def body(scene, view, dt, _=None):
+                world_p = apply_mat4_point(view.model, scene.pair_pos)
+                clip_sh = apply_mat4_h(view.shadow_space, world_p)
+                setup = triangle_setup(
+                    clip_sh[scene.tri_vtx], config.shadowmap_dim,
+                    config.shadowmap_dim, two_sided=True,
+                    valid_mask=scene.tri_valid,
+                    depth_bias=(config.shadow_bias_constant,
+                                config.shadow_bias_slope),
+                )
+                pairs = build_pairs(setup, config.shadowmap_dim,
+                                    config.shadowmap_dim, config.tile_h,
+                                    config.tile_w,
+                                    expand=config.pair_expand_shadow)
+                init = (jnp.ones((config.shadowmap_dim,
+                                  config.shadowmap_dim), jnp.float32)
+                        + dt)
+                d = rasterize_pairs(
+                    pairs, config.shadowmap_dim, config.shadowmap_dim,
+                    init_depth=init, tile_h=config.tile_h,
+                    tile_w=config.tile_w, sub_rows=config.sub_rows,
+                    depth_only=True,
+                )
+                return jnp.sum(d)
+
+            ms, comp = steady_ms(make_scan(body), frames=args.frames)
+        else:
+            print(json.dumps({"stage": name, "error": "unknown"}))
+            continue
+        stages[name] = ms
+        print(json.dumps({"stage": name, "ms": round(ms, 1),
+                          "compile_s": round(comp, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,14 @@ class EngineConfig:
     # coarse; prep cost scales with T*expand while the supertile level
     # absorbs the spill, so a smaller budget wins).
     pair_expand_shadow: int = 4
+    # Live-pair capacity: dead/culled pairs sort last, so slicing the
+    # sorted stream to this many pairs makes the O(P) record gather
+    # track the POST-CULL visible count instead of T * pair_expand
+    # capacity (the GPU-driven-culling analogue of a sized indirect
+    # command buffer). None = uncapped (exact). Live pairs beyond the
+    # cap are dropped deterministically and counted by validation mode.
+    max_pairs: int | None = None
+    max_pairs_shadow: int | None = None
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8

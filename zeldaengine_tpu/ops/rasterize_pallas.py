@@ -67,6 +67,9 @@ class PairedTriangles(NamedTuple):
     sstarts: jnp.ndarray  # (n_super,) int32 supertile range start
     sends: jnp.ndarray  # (n_super,) int32 supertile range end
     gbounds: jnp.ndarray  # (2,) int32 global-bucket [start, end)
+    # Number of LIVE pairs dropped by the ``max_pairs`` capacity (0 when
+    # uncapped); surfaced by validation mode.
+    overflow: jnp.ndarray | int = 0
 
 
 # Supertile geometry (in tiles) and its pair budget: a triangle covering
@@ -90,6 +93,7 @@ def build_pairs(
     expand: int = 8,
     y0_tiles=0,
     extra: jnp.ndarray | None = None,
+    max_pairs: int | None = None,
 ) -> PairedTriangles:
     """Compact triangles into exact per-tile pair lists (TPU binning).
 
@@ -191,6 +195,23 @@ def build_pairs(
         (keys.astype(jnp.int32), tri_ids), num_keys=1
     )
 
+    # Live-pair capacity (VERDICT r2 #2): dead pairs sort LAST, so the
+    # live pairs occupy a prefix of the sorted stream — slicing to
+    # ``max_pairs`` makes the O(P) record gather (the dominant prep cost
+    # at meshlet scale) track the POST-CULL pair count instead of
+    # T * expand capacity. Overflow (live pairs beyond the cap) is
+    # counted for validation mode; ranges clamp automatically because
+    # searchsorted runs on the sliced keys.
+    overflow = jnp.int32(0)
+    if max_pairs is not None and max_pairs < skey.shape[0]:
+        cap = max(128, (max_pairs // 128) * 128)
+        live_end = jnp.searchsorted(
+            skey, jnp.int32(n_tiles + n_super + 1), side="left"
+        ).astype(jnp.int32)
+        overflow = jnp.maximum(live_end - cap, 0)
+        skey = skey[:cap]
+        stri = stri[:cap]
+
     # Per-bin offsets (n_tiles dense + n_super supertile + global + dead)
     # via binary search over the SORTED keys — 0.5k searches of log(P)
     # instead of a P-element scatter-add histogram.
@@ -215,6 +236,7 @@ def build_pairs(
         sstarts=sstarts,
         sends=sends,
         gbounds=gbounds,
+        overflow=overflow,
     )
 
 

@@ -100,17 +100,19 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
             )
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
-                            expand=config.pair_expand, y0_tiles=y0_tiles)
+                            expand=config.pair_expand, y0_tiles=y0_tiles,
+                            max_pairs=config.max_pairs)
         depth, tid = rasterize_pairs(
             pairs, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
             tile_w=config.tile_w, sub_rows=config.sub_rows,
             y0_tiles=y0_tiles,
         )
-        return depth[:height, :width], tid[:height, :width]
-    return rasterize_visibility(
+        return depth[:height, :width], tid[:height, :width], pairs.overflow
+    d, t = rasterize_visibility(
         setup, height, width, chunk=config.tri_chunk, init_depth=init_depth,
         y0=y0,
     )
+    return d, t, jnp.int32(0)
 
 
 def _fused_extra(scene, setup, world, n_world):
@@ -141,14 +143,14 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
     y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
     pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                         expand=config.pair_expand, y0_tiles=y0_tiles,
-                        extra=extra)
+                        extra=extra, max_pairs=config.max_pairs)
     depth, tid, planes = rasterize_pairs_fused(
         pairs, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
         tile_w=config.tile_w, sub_rows=config.sub_rows,
         texture_size=config.texture_size, y0_tiles=y0_tiles,
     )
     return (depth[:height, :width], tid[:height, :width],
-            planes[:, :height, :width])
+            planes[:, :height, :width], pairs.overflow)
 
 
 def _apply_wireframe(attrs: SurfaceAttributes, depth, tid,
@@ -173,12 +175,14 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
         pairs = build_pairs(setup, dim, height, config.tile_h,
                             config.tile_w,
                             expand=config.pair_expand_shadow,
-                            y0_tiles=y0_tiles)
+                            y0_tiles=y0_tiles,
+                            max_pairs=config.max_pairs_shadow)
         return rasterize_pairs(
             pairs, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
             sub_rows=config.sub_rows, depth_only=True, y0_tiles=y0_tiles,
-        )
-    return rasterize_depth(setup, height, dim, chunk=config.tri_chunk, y0=y0)
+        ), pairs.overflow
+    return (rasterize_depth(setup, height, dim, chunk=config.tri_chunk,
+                            y0=y0), jnp.int32(0))
 
 
 def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
@@ -194,6 +198,22 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
             shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
             bias=config.shadow_bias,
             group=int(config.pcf_backend[len("packed"):]),
+        )
+    if config.pcf_backend in ("half", "half_nearest", "half_wr") \
+            and sc.ndim == 3:
+        # Half-res exact taps + 2x upsample: 4x fewer gather indices
+        # (VERDICT r2 #10); one-tap-quantum error along penumbra edges.
+        # "half_wr" additionally collapses the 5 row gathers into ONE
+        # (kernel-built 2-D window table).
+        from zeldaengine_tpu.ops.shadow import compute_pcf_half
+
+        return compute_pcf_half(
+            shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+            bias=config.shadow_bias,
+            upsample="nearest" if config.pcf_backend == "half_nearest"
+            else "linear",
+            inner="window_roll" if config.pcf_backend == "half_wr"
+            else "packed",
         )
     if config.pcf_backend == "window1":
         # ONE gather per pixel from a 2-D window table (exact).
@@ -462,7 +482,7 @@ def _skydome_mesh(scene, view, depth, color, show_env, height, width,
     setup_sky = triangle_setup(
         sky_clip[scene.sky_tri], width, vp_h, two_sided=True
     )
-    depth_sky, tid_sky = _raster_vis(
+    depth_sky, tid_sky, _ = _raster_vis(
         setup_sky, height, width, config, init_depth=depth, y0=y0,
         band=not full_frame,
     )
@@ -647,6 +667,7 @@ def render_rows(
         tri_vis = expand_meshlet_mask(visible, jnp.maximum(scene.tri_meshlet, 0))
         tri_valid = tri_valid & (tri_vis | (scene.tri_meshlet < 0))
 
+    pair_overflow = jnp.int32(0)  # live pairs dropped by max_pairs caps
     # ---- 1. shadowmap pass (two-sided: cull disabled for Shadow pipelines)
     if config.enable_shadow:
         clip_sh = apply_mat4_h(view.shadow_space, world)
@@ -663,16 +684,17 @@ def render_rows(
         )
         if shadow_rows is not None:
             sy0, s_rows, gather_fn = shadow_rows
-            shadow_band = _raster_depth(
+            shadow_band, ovf_sh = _raster_depth(
                 setup_sh, config.shadowmap_dim, config, y0=sy0,
                 band=True, rows=s_rows,
             )
             shadowmap = gather_fn(shadow_band)
         else:
-            shadowmap = _raster_depth(
+            shadowmap, ovf_sh = _raster_depth(
                 setup_sh, config.shadowmap_dim, config,
                 band=not full_frame,
             )
+        pair_overflow = pair_overflow + ovf_sh
     else:
         shadowmap = jnp.zeros(
             (config.shadowmap_dim, config.shadowmap_dim), jnp.float32
@@ -740,13 +762,13 @@ def render_rows(
         )
         if use_fused:
             extra = _fused_extra(scene, setup, world, n_world)
-            depth_d, tid_d, planes_d = _raster_vis_fused(
+            depth_d, tid_d, planes_d, ovf_d = _raster_vis_fused(
                 setup, extra, height, width, config, y0=y0
             )
             attrs_d = surface_attributes_from_planes(scene, planes_d,
                                                      config)
         else:
-            depth_d, tid_d = _raster_vis(
+            depth_d, tid_d, ovf_d = _raster_vis(
                 setup, height, width, config, y0=y0, band=not full_frame
             )
             attrs_d = surface_attributes(
@@ -764,6 +786,7 @@ def render_rows(
             env_fetch=make_env_fetch(attrs_d.covered, env_cell),
         )
         tid_d_out = tid_d
+        pair_overflow = pair_overflow + ovf_d
     else:
         depth_d = jnp.ones((height, width), jnp.float32)
         tid_d_out = jnp.full((height, width), -1, jnp.int32)
@@ -778,14 +801,14 @@ def render_rows(
         )
         if use_fused:
             extra_f = _fused_extra(scene, setup_f, world, n_world)
-            depth, tid_f, planes_f = _raster_vis_fused(
+            depth, tid_f, planes_f, ovf_f = _raster_vis_fused(
                 setup_f, extra_f, height, width, config,
                 init_depth=depth_d, y0=y0,
             )
             attrs_f = surface_attributes_from_planes(scene, planes_f,
                                                      config)
         else:
-            depth, tid_f = _raster_vis(
+            depth, tid_f, ovf_f = _raster_vis(
                 setup_f, height, width, config, init_depth=depth_d, y0=y0,
                 band=not full_frame,
             )
@@ -804,6 +827,7 @@ def render_rows(
             env_fetch=make_env_fetch(attrs_f.covered, fwd_env_cell),
         )
         color = jnp.where(fwd_mask[..., None], fwd_color, color)
+        pair_overflow = pair_overflow + ovf_f
         if use_env and not env_cell:
             env_cell = fwd_env_cell  # forward-only scenes
     else:
@@ -883,6 +907,8 @@ def render_rows(
                 jnp.int32(0) if light_drops is None
                 else light_drops.astype(jnp.int32)
             ),
+            # Live pairs dropped by the max_pairs capacity slices.
+            "pair_overflow": pair_overflow,
         }
         if meta.has_deferred:
             val["oversized_tris"] = count_oversized(

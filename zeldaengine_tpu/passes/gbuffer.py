@@ -202,6 +202,20 @@ def surface_attributes_from_planes(
     already did the record fetch, interpolation and analytic derivatives
     in VMEM; only the texture tap + TBN remain here."""
 
+    if "noattrs" in config.ablate:
+        # DIAGNOSTIC: constant attrs (keep only a scalar tap into the
+        # planes so the kernel still runs) — isolates the plane->HWC
+        # relayout + TBN + texture tap from the raster kernel cost.
+        h, w = planes.shape[1:]
+        z1 = planes[0] * 1e-9
+        v3 = jnp.stack([z1, z1, z1 + 1.0], -1)
+        return SurfaceAttributes(
+            covered=planes[0] > 0.5, world_pos=v3, normal=v3,
+            vertex_color=v3, base_color=v3 * 0.5, metallic=z1,
+            roughness=z1 + 0.5, ao=z1 + 1.0, emissive=v3 * 0.0,
+            mask=z1 + 1.0, bary_min=z1,
+        )
+
     def v(lo, hi):  # channel-major -> (H, W, C)
         return jnp.moveaxis(planes[lo:hi], 0, -1)
 

@@ -92,11 +92,11 @@ def profile_passes(
             depth_bias=(config.shadow_bias_constant,
                         config.shadow_bias_slope),
         )
-        return F._raster_depth(setup_sh, config.shadowmap_dim, config)
+        return F._raster_depth(setup_sh, config.shadowmap_dim, config)[0]
 
     @jax.jit
     def raster(setup):
-        return F._raster_vis(setup, config.height, config.width, config)
+        return F._raster_vis(setup, config.height, config.width, config)[:2]
 
     @jax.jit
     def attrs_fn(scene, setup, tid, world, n_world):
