@@ -80,6 +80,17 @@ VARIANTS = {
     "fused_cap192": {"raster": "fused", "max_pairs": 192 * 1024,
                      "max_pairs_shadow": 144 * 1024},
     "fused_halfwr": {"raster": "fused", "pcf_backend": "half_wr"},
+    # Round-3c: tile granularity. Phase-1 raster work scales as
+    # pairs x tile_px; tiny demo triangles still emit ~1 pair at 8-row
+    # tiles, so shrinking tile_h cuts the pixelxtriangle product ~4x.
+    # Supertile pixel footprint stays constant (see _super_h).
+    "fused_tile8": {"raster": "fused", "tile_h": 8},
+    "fused_tile16": {"raster": "fused", "tile_h": 16},
+    "fused_tile8_e16": {"raster": "fused", "tile_h": 8, "pair_expand": 16},
+    "fused_tile8_half_cap": {"raster": "fused", "tile_h": 8,
+                             "pcf_backend": "half",
+                             "max_pairs": 512 * 1024,
+                             "max_pairs_shadow": 320 * 1024},
 }
 
 

@@ -162,21 +162,35 @@ def main():
                 return jnp.sum(d) + jnp.sum(planes[1])
 
             ms, comp = steady_ms(make_scan(body), frames=args.frames)
-        elif name == "kernel1":
-            # Phase-1-only visibility kernel (no fused attr fetch):
-            # kernel - kernel1 = the phase-2 record-fetch cost.
-            def body(scene, view, dt, _=None):
+        elif name in ("kernel1", "kernel1w", "kernel1d"):
+            # Phase-1-only probes. "kernel1w": winner tracking, raw pair
+            # ids (the original "kernel1" summed MAPPED tids, forcing a
+            # 2M-index pair_tri gather the fused probe DCEs — it measured
+            # HIGHER than the full fused kernel). "kernel1": same records
+            # width as the fused kernel (extra=34) so DMA volume matches
+            # and kernel - kernel1 = phase-2 + epilogue exactly.
+            # "kernel1d": depth-only (no winner tracking).
+            def body(scene, view, dt, _=None, name=name):
                 setup, world_p, n_world = vertex_setup(scene, view, 0.0)
+                extra = (_fused_extra(scene, setup, world_p, n_world)
+                         if name == "kernel1" else None)
                 pairs = build_pairs(setup, pw, ph, config.tile_h,
                                     config.tile_w,
-                                    expand=config.pair_expand)
+                                    expand=config.pair_expand, extra=extra)
                 init = jnp.ones((ph, pw), jnp.float32) + dt
-                d, tid = rasterize_pairs(
+                if name == "kernel1d":
+                    d = rasterize_pairs(
+                        pairs, ph, pw, init_depth=init,
+                        tile_h=config.tile_h, tile_w=config.tile_w,
+                        sub_rows=config.sub_rows, depth_only=True,
+                    )
+                    return jnp.sum(d)
+                d, tid_pair = rasterize_pairs(
                     pairs, ph, pw, init_depth=init,
                     tile_h=config.tile_h, tile_w=config.tile_w,
-                    sub_rows=config.sub_rows,
+                    sub_rows=config.sub_rows, map_tid=False,
                 )
-                return jnp.sum(d) + jnp.sum(tid)
+                return jnp.sum(d) + jnp.sum(tid_pair)
 
             ms, comp = steady_ms(make_scan(body), frames=args.frames)
         elif name == "shkern":

@@ -55,7 +55,7 @@ class PairedTriangles(NamedTuple):
     pair order (16 rows x 128 lanes per slice); tile t's pairs occupy the
     contiguous index range [starts[t], ends[t]). Triangles whose bbox
     covers more than ``expand`` tiles get SUPERTILE pairs (a supertile is
-    ``SUPER_H x SUPER_W`` tiles; range [sstarts[s], sends[s]) walked by
+    ``super_h x SUPER_W`` tiles; range [sstarts[s], sends[s]) walked by
     each of the supertile's tiles); only triangles too big for the
     supertile budget land in the global bucket [gbounds[0], gbounds[1])
     walked by every tile."""
@@ -74,14 +74,20 @@ class PairedTriangles(NamedTuple):
 
 # Supertile geometry (in tiles) and its pair budget: a triangle covering
 # more than ``expand`` tiles emits up to SUPER_EXPAND supertile pairs
-# (each walked by SUPER_H*SUPER_W tiles) before falling into the global
+# (each walked by super_h*SUPER_W tiles) before falling into the global
 # bucket walked by EVERY tile. At the demo scale the global bucket held
 # 248 near-camera terrain triangles = 46% of all kernel visits (3 slices
 # x 510 tiles); two-level binning cuts that to the handful of triangles
-# spanning more than ~16 supertiles.
-SUPER_H = 2
+# spanning more than ~16 supertiles. The supertile PIXEL footprint stays
+# constant (64 x 512 px) as tile_h shrinks — otherwise the global-bucket
+# cost scales with n_tiles (4x at tile_h=8).
 SUPER_W = 4
 SUPER_EXPAND = 4
+
+
+def _super_h(tile_h: int) -> int:
+    """Supertile height in tiles: fixed 64-px footprint (2 at tile_h=32)."""
+    return max(1, 64 // tile_h)
 
 
 def build_pairs(
@@ -152,12 +158,13 @@ def build_pairs(
 
     # Supertile ranges (two-level binning; see SUPER_* above).
     n_sx = -(-n_tx // SUPER_W)
-    n_sy = -(-n_ty // SUPER_H)
+    super_h = _super_h(tile_h)
+    n_sy = -(-n_ty // super_h)
     n_super = n_sy * n_sx
     sx0 = jnp.floor(tx0 / SUPER_W)
-    sy0 = jnp.floor(ty0 / SUPER_H)
+    sy0 = jnp.floor(ty0 / super_h)
     sx1 = jnp.floor(tx1 / SUPER_W)
-    sy1 = jnp.floor(ty1 / SUPER_H)
+    sy1 = jnp.floor(ty1 / super_h)
     snx = sx1 - sx0 + 1.0
     ncov_s = jnp.where(live, snx * (sy1 - sy0 + 1.0), 0.0)
 
@@ -363,7 +370,7 @@ def _pair_kernel(
     base_x = (tx * tile_w).astype(jnp.int32)
     base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
     n_sx = -(-n_tx // SUPER_W)
-    st = (ty // SUPER_H) * n_sx + (tx // SUPER_W)
+    st = (ty // _super_h(tile_h)) * n_sx + (tx // SUPER_W)
 
     n_slots = 4  # DMA pipeline depth (hides HBM latency across slices)
     walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
@@ -488,7 +495,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
     jax.jit,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "sub_rows",
-        "depth_only", "interpret",
+        "depth_only", "interpret", "map_tid",
     ),
 )
 def rasterize_pairs(
@@ -502,11 +509,14 @@ def rasterize_pairs(
     depth_only: bool = False,
     y0_tiles=0,
     interpret: bool = False,
+    map_tid: bool = True,
 ):
     """Rasterize an exact pair stream to (depth, triangle-id) buffers.
 
     Returns (depth, tid) with tid = ORIGINAL triangle ids (-1 uncovered),
-    or just depth when ``depth_only``.
+    or just depth when ``depth_only``. ``map_tid=False`` returns raw
+    winner PAIR indices instead (skips the (H*W)-index gather through
+    ``pair_tri`` — for probes and callers that consume pair ids).
     """
     n_tx = width // tile_w
     n_ty = height // tile_h
@@ -567,6 +577,8 @@ def rasterize_pairs(
       pairs.gbounds, pairs.records, init_depth)
     if depth_only:
         return depth
+    if not map_tid:
+        return depth, tid_pair
     tid = jnp.where(
         tid_pair >= 0, pairs.pair_tri[jnp.maximum(tid_pair, 0)], -1
     )
@@ -630,7 +642,7 @@ def _pair_fused_kernel(
     base_x = (tx * tile_w).astype(jnp.int32)
     base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
     n_sx = -(-n_tx // SUPER_W)
-    st = (ty // SUPER_H) * n_sx + (tx // SUPER_W)
+    st = (ty // _super_h(tile_h)) * n_sx + (tx // SUPER_W)
 
     n_slots = 4
     walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
