@@ -118,3 +118,46 @@ def test_build_pairs_max_pairs_cap(rng):
     tiny = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
                        max_pairs=128)
     assert int(tiny.overflow) == max(live - 128, 0)
+
+
+def test_compact_setup_matches_uncompacted(rng):
+    """Live-triangle compaction (compact_tris): same depth/tid as the
+    uncompacted pair build, overflow counted when the cap is too small."""
+    from zeldaengine_tpu.ops.rasterize_pallas import (
+        build_pairs,
+        compact_setup,
+        rasterize_pairs,
+        remap_pair_tri,
+    )
+
+    setup = _random_setup(rng, n=300)
+    # Kill a majority of triangles (the meshlet-cull analogue).
+    mask = np.ones(300, bool)
+    mask[::3] = False
+    mask[1::3] = False
+    setup = setup._replace(valid=setup.valid & jnp.asarray(mask))
+
+    pairs0 = build_pairs(setup, W, H, TILE_H, TILE_W)
+    d0, t0 = rasterize_pairs(pairs0, H, W, tile_h=TILE_H, tile_w=TILE_W,
+                             interpret=True)
+
+    live = int(np.asarray(
+        setup.valid
+        & (setup.bbox[:, 2] > setup.bbox[:, 0])
+        & (setup.bbox[:, 3] > setup.bbox[:, 1])
+    ).sum())
+    cap = live + 8
+    s2, _, idx, ovf = compact_setup(setup, cap)
+    assert int(ovf) == 0
+    pairs1 = build_pairs(s2, W, H, TILE_H, TILE_W)
+    pairs1 = remap_pair_tri(pairs1, idx, 300)
+    d1, t1 = rasterize_pairs(pairs1, H, W, tile_h=TILE_H, tile_w=TILE_W,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), atol=5e-5)
+    t0a, t1a = np.asarray(t0), np.asarray(t1)
+    # dead encoding: uncompacted uses -1 for uncovered; ids must agree
+    assert (t1a != t0a).mean() < 0.005
+
+    # Too-small cap: deterministic overflow is counted.
+    _, _, _, ovf2 = compact_setup(setup, max(8, live // 2))
+    assert int(ovf2) == live - max(8, live // 2)

@@ -87,6 +87,15 @@ VARIANTS = {
     "fused_tile8": {"raster": "fused", "tile_h": 8},
     "fused_tile16": {"raster": "fused", "tile_h": 16},
     "fused_tile8_e16": {"raster": "fused", "tile_h": 8, "pair_expand": 16},
+    # Round-3d: y-packed PCF row table (3 gathers at 264k rows).
+    "fused_pcfy4": {"raster": "fused", "pcf_backend": "packed_y4"},
+    "fused_sr16": {"raster": "fused", "sub_rows": 16},
+    "fused_sr32": {"raster": "fused", "sub_rows": 32},
+    "fused_pcfy8": {"raster": "fused", "pcf_backend": "packed_y8"},
+    "fused_half_y4": {"raster": "fused", "pcf_backend": "half_y4"},
+    "fused_y4_cap": {"raster": "fused", "pcf_backend": "packed_y4",
+                     "max_pairs": 384 * 1024,
+                     "max_pairs_shadow": 256 * 1024},
     "fused_tile8_half_cap": {"raster": "fused", "tile_h": 8,
                              "pcf_backend": "half",
                              "max_pairs": 512 * 1024,
@@ -137,6 +146,9 @@ def main():
     ap.add_argument("--rocks", type=int, default=65)
     ap.add_argument("--lights", type=int, default=16)
     ap.add_argument("--list", action="store_true")
+    ap.add_argument("--scene", type=str, default="demo",
+                    choices=("demo", "c4"))
+    ap.add_argument("--caps", type=str, default="8,16,8")
     args = ap.parse_args()
 
     if args.list:
@@ -149,14 +161,21 @@ def main():
     from zeldaengine_tpu.passes.view import build_view_state
     from zeldaengine_tpu.scene.demo import build_demo_scene
 
-    base = EngineConfig(width=1920, height=1080)
-    t0 = time.time()
-    scene, meta, world = build_demo_scene(base, grass=args.grass,
-                                          rocks=args.rocks)
-    print(f"# scene build {time.time()-t0:.1f}s "
-          f"tris={meta.num_triangles}", flush=True)
+    if args.scene == "c4":
+        from _scenes import build_c4_scene, c4_config
 
-    def make_view(i, caps=(8, 16, 8)):
+        base = c4_config(EngineConfig)
+        scene, meta, world = build_c4_scene(base)
+    else:
+        base = EngineConfig(width=1920, height=1080)
+        t0 = time.time()
+        scene, meta, world = build_demo_scene(base, grass=args.grass,
+                                              rocks=args.rocks)
+        print(f"# scene build {time.time()-t0:.1f}s "
+              f"tris={meta.num_triangles}", flush=True)
+    base_caps = tuple(int(x) for x in args.caps.split(","))
+
+    def make_view(i, caps=base_caps):
         return build_view_state(world, base, time=i / 60.0,
                                 roll_light=i * 0.02,
                                 light_capacities=caps)
@@ -165,7 +184,7 @@ def main():
         over = dict(VARIANTS[name])
         adaptive = over.pop("_adaptive_caps", False)
         cfg = base.replace(**over) if over else base
-        caps = None if adaptive else (8, 16, 8)
+        caps = None if adaptive else base_caps
         try:
             ms, comp = steady_ms(
                 lambda s, v, cfg=cfg: render_rows(s, v, meta, cfg)[0],

@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--grass", type=int, default=10000)
     ap.add_argument("--rocks", type=int, default=65)
+    ap.add_argument("--winner", type=str, default="argmin2")
+    ap.add_argument("--scene", type=str, default="demo",
+                    choices=("demo", "c4"))
+    ap.add_argument("--compact", type=int, default=0,
+                    help="compact_tris capacity (0 = off)")
+    ap.add_argument("--cap_pairs", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -71,12 +77,23 @@ def main():
     from zeldaengine_tpu.passes.view import build_view_state
     from zeldaengine_tpu.scene.demo import build_demo_scene
 
-    config = EngineConfig(width=1920, height=1080)
-    t0 = time.time()
-    scene, meta, world = build_demo_scene(config, grass=args.grass,
-                                          rocks=args.rocks)
-    print(f"# scene build {time.time()-t0:.1f}s tris={meta.num_triangles}",
-          flush=True)
+    if args.scene == "c4":
+        from _scenes import build_c4_scene, c4_config
+
+        config = c4_config(EngineConfig)
+        scene, meta, world = build_c4_scene(config)
+    else:
+        config = EngineConfig(width=1920, height=1080)
+        t0 = time.time()
+        scene, meta, world = build_demo_scene(config, grass=args.grass,
+                                              rocks=args.rocks)
+        print(f"# scene build {time.time()-t0:.1f}s "
+              f"tris={meta.num_triangles}", flush=True)
+    if args.compact:
+        config = config.replace(compact_tris=args.compact)
+    if args.cap_pairs:
+        config = config.replace(max_pairs=args.cap_pairs,
+                                max_pairs_shadow=args.cap_pairs)
     view = build_view_state(world, config, time=0.0,
                             light_capacities=(8, 16, 8))
     ph = _pad_up(config.height, config.tile_h)
@@ -90,19 +107,42 @@ def main():
             precision=jax.lax.Precision.HIGHEST,
         )
         clip = apply_mat4_h(view.view_proj, world_p)
+        tri_valid = scene.tri_valid & scene.tri_deferred
+        if args.scene == "c4":
+            from zeldaengine_tpu.ops.culling import (
+                expand_meshlet_mask, meshlet_cull)
+
+            vp_model = jnp.matmul(view.view_proj, view.model)
+            vis = meshlet_cull(scene.meshlet_records, vp_model,
+                               view.camera_pos, model=view.model)
+            tvis = expand_meshlet_mask(
+                vis, jnp.maximum(scene.tri_meshlet, 0))
+            tri_valid = scene.tri_valid & (
+                tvis | (scene.tri_meshlet < 0))
         # dt folds the scan carry in so nothing hoists.
         setup = triangle_setup(
             clip[scene.tri_vtx] + dt, pw, config.height,
             two_sided=scene.tri_two_sided,
-            valid_mask=scene.tri_valid & scene.tri_deferred,
+            valid_mask=tri_valid,
         )
         return setup, world_p, n_world
+
+    def maybe_compact(setup, extra):
+        if not config.compact_tris:
+            return setup, extra
+        from zeldaengine_tpu.ops.rasterize_pallas import compact_setup
+
+        s2, e2, _, _ = compact_setup(setup, config.compact_tris,
+                                     extra=extra)
+        return s2, e2
 
     def prep_fn(scene, view, dt):
         setup, world_p, n_world = vertex_setup(scene, view, dt)
         extra = _fused_extra(scene, setup, world_p, n_world)
+        setup, extra = maybe_compact(setup, extra)
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
-                            expand=config.pair_expand, extra=extra)
+                            expand=config.pair_expand, extra=extra,
+                            max_pairs=config.max_pairs)
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -116,10 +156,12 @@ def main():
             depth_bias=(config.shadow_bias_constant,
                         config.shadow_bias_slope),
         )
+        setup, _ = maybe_compact(setup, None)
         pairs = build_pairs(setup, config.shadowmap_dim,
                             config.shadowmap_dim, config.tile_h,
                             config.tile_w,
-                            expand=config.pair_expand_shadow)
+                            expand=config.pair_expand_shadow,
+                            max_pairs=config.max_pairs_shadow)
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -148,9 +190,11 @@ def main():
             def body(scene, view, dt, _=None):
                 setup, world_p, n_world = vertex_setup(scene, view, 0.0)
                 extra = _fused_extra(scene, setup, world_p, n_world)
+                setup, extra = maybe_compact(setup, extra)
                 pairs = build_pairs(setup, pw, ph, config.tile_h,
                                     config.tile_w,
-                                    expand=config.pair_expand, extra=extra)
+                                    expand=config.pair_expand, extra=extra,
+                                    max_pairs=config.max_pairs)
                 # pairs are loop-invariant (hoisted); init_depth carries dt
                 init = jnp.ones((ph, pw), jnp.float32) + dt
                 d, tid, planes = rasterize_pairs_fused(
@@ -189,6 +233,7 @@ def main():
                     pairs, ph, pw, init_depth=init,
                     tile_h=config.tile_h, tile_w=config.tile_w,
                     sub_rows=config.sub_rows, map_tid=False,
+                    winner=args.winner,
                 )
                 return jnp.sum(d) + jnp.sum(tid_pair)
 

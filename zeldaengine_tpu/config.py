@@ -89,6 +89,14 @@ class EngineConfig:
     # cap are dropped deterministically and counted by validation mode.
     max_pairs: int | None = None
     max_pairs_shadow: int | None = None
+    # Live-triangle compaction (VERDICT r2 #2): when set, live (post-
+    # meshlet-cull, on-screen) triangles are cumsum-compacted into this
+    # many slots BEFORE pair expansion, so the O(T*expand) key sort and
+    # O(T) record build track the CULL RESULT instead of pool capacity.
+    # Size it to the worst-case post-cull visible count; overflow is
+    # deterministic (highest triangle ids dropped) and counted by
+    # validation mode.
+    compact_tris: int | None = None
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8

@@ -90,6 +90,66 @@ def _super_h(tile_h: int) -> int:
     return max(1, 64 // tile_h)
 
 
+def compact_setup(
+    setup: TriangleSetup,
+    cap: int,
+    extra: jnp.ndarray | None = None,
+):
+    """Compact live triangles into a ``cap``-sized prefix (VERDICT r2 #2).
+
+    At meshlet scale (1M-tri capacity, most culled by the frustum/cone
+    pass) the pair-binning prep sorts T*expand keys and gathers T-sized
+    records regardless of the cull result — the prep cost tracks
+    CAPACITY, defeating the cull. Compacting live (post-cull, on-screen)
+    triangles first makes every downstream cost track the live count:
+    one O(T) cumsum + one T-element scatter replaces sorting the dead
+    majority.
+
+    Returns (setup', extra', idx, overflow): ``idx`` (cap,) maps
+    compacted rows to ORIGINAL triangle ids (== original T for dead
+    padding rows), for remapping ``pair_tri``; ``overflow`` counts live
+    triangles dropped by the cap (deterministically, highest ids first).
+    """
+    t = setup.edge.shape[0]
+    live = (
+        setup.valid
+        & (setup.bbox[:, 2] > setup.bbox[:, 0])
+        & (setup.bbox[:, 3] > setup.bbox[:, 1])
+    )
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    n_live = jnp.where(live.shape[0] > 0, pos[-1] + 1, 0)
+    tgt = jnp.where(live & (pos < cap), pos, cap)
+    idx = (
+        jnp.full((cap + 1,), t, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(t, dtype=jnp.int32), mode="drop")[:cap]
+    )
+    overflow = jnp.maximum(n_live - cap, 0)
+
+    def g(a, dead_val=0.0):
+        pad = jnp.full((1, *a.shape[1:]), dead_val, a.dtype)
+        return jnp.concatenate([a, pad], axis=0)[idx]
+
+    setup2 = TriangleSetup(
+        edge=g(setup.edge),
+        zc=g(setup.zc),
+        valid=g(setup.valid, dead_val=False),
+        bbox=g(setup.bbox),
+    )
+    extra2 = None if extra is None else g(extra)
+    return setup2, extra2, idx, overflow
+
+
+def remap_pair_tri(pairs: PairedTriangles, idx: jnp.ndarray,
+                   orig_t: int) -> PairedTriangles:
+    """Map compacted pair_tri back to original triangle ids (dead pairs
+    -> orig_t, matching the uncompacted dead convention)."""
+    idx_pad = jnp.concatenate(
+        [idx, jnp.full((1,), orig_t, jnp.int32)], axis=0
+    )
+    return pairs._replace(pair_tri=idx_pad[pairs.pair_tri])
+
+
 def build_pairs(
     setup: TriangleSetup,
     width: int,
@@ -362,6 +422,7 @@ def _pair_kernel(
     n_tx: int,
     sub_rows: int,
     depth_only: bool,
+    winner: str,
 ):
     t = pl.program_id(0)
 
@@ -382,14 +443,14 @@ def _pair_kernel(
     _run_raster_walk(
         walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x, base_y,
         ranges, acc_d_ref, acc_t_ref, tile_h=tile_h, tile_w=tile_w,
-        sub_rows=sub_rows, depth_only=depth_only,
+        sub_rows=sub_rows, depth_only=depth_only, winner=winner,
     )
 
 
 def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
                      base_x, base_y, ranges, acc_d_ref, acc_t_ref, *,
                      tile_h: int, tile_w: int, sub_rows: int,
-                     depth_only: bool):
+                     depth_only: bool, winner: str = "argmin2"):
     """Phase-1 visibility walk (z-test + winner tracking), shared by the
     plain pair kernel and the fused kernel.
 
@@ -414,7 +475,11 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             pl.ds(sb * sub_rows, sub_rows), :
         ].reshape(p_sub)
         if not depth_only:
-            acc_t_ref[sb, :] = jnp.full((p_sub,), -1, jnp.int32)
+            # Winner ids accumulate as f32 VALUES (exact integers up to
+            # 2^24 >> any pair count) and cast to int32 once in the
+            # epilogue: int32 selects/stores inside the hot visit body
+            # hit the slow VPU path.
+            acc_t_ref[sb, :] = jnp.full((p_sub,), -1.0, jnp.float32)
 
     def raster_body(slot, c_base, lo, hi, carry):
         # Boundary slices are shared with neighbor tiles: mask lanes
@@ -458,10 +523,47 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
                 cand = jnp.where(inside, d, NO_HIT)
                 kb_best = jnp.min(cand, axis=1)
                 acc_d_ref[sb, :] = jnp.minimum(kb_best, acc_d_ref[sb, :])
+            elif winner == "probe_nokey":
+                # PROBE ONLY (wrong tid): depth_only body + acc_t store
+                # of kb_best — isolates key/decode cost from the
+                # second accumulator's existence.
+                cand = jnp.where(inside, d, NO_HIT)
+                kb_best = jnp.min(cand, axis=1)
+                acc_d_ref[sb, :] = jnp.minimum(kb_best, acc_d_ref[sb, :])
+                acc_t_ref[sb, :] = jnp.minimum(kb_best, acc_t_ref[sb, :])
+            elif winner == "probe_2red":
+                # PROBE ONLY (wrong tid): two reductions, no compares.
+                cand = jnp.where(inside, d, NO_HIT)
+                kb_best = jnp.min(cand, axis=1)
+                lane_best = jnp.min(cand * 0.5, axis=1)
+                acc_d_ref[sb, :] = jnp.minimum(kb_best, acc_d_ref[sb, :])
+                acc_t_ref[sb, :] = jnp.minimum(lane_best,
+                                               acc_t_ref[sb, :])
+            elif winner == "argmin2":
+                # Two-reduction winner: plain depth min (the exact
+                # depth_only semantics — no quantization), then the
+                # winning lane by eq-compare + lane min (ties -> lowest
+                # lane, as the packed key resolved them). Same speed as
+                # the packed key on hardware (44.7 vs 43.5 ms demo-scale
+                # phase-1) but keeps vis depth EXACT and consistent with
+                # the depth_only output (ADVICE r2 #1) — the default.
+                cand = jnp.where(inside, d, NO_HIT)
+                kb_best = jnp.min(cand, axis=1)
+                lane_best = jnp.min(
+                    jnp.where(cand == kb_best[:, None], lane_f, 128.0),
+                    axis=1,
+                )
+                cur = acc_d_ref[sb, :]
+                take = kb_best < cur
+                acc_d_ref[sb, :] = jnp.where(take, kb_best, cur)
+                acc_t_ref[sb, :] = jnp.where(
+                    take, c_base.astype(jnp.float32) + lane_best,
+                    acc_t_ref[sb, :],
+                )
             else:
-                # Round-to-nearest: halves the quantization bias vs
-                # floor and keeps the vis depth within half a 1/65536
-                # quantum of the (unquantized) depth_only output.
+                # Packed-key winner ("packed"): depth quantized to the
+                # high bits, lane in the low bits, ONE min reduction.
+                # Round-to-nearest halves the quantization bias vs floor.
                 dq = jnp.floor(d * depth_scale + 0.5)
                 key = jnp.where(
                     inside, dq * 128.0 + lane_f, NO_HIT
@@ -471,7 +573,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
                 kb_best = jnp.where(
                     kmin < NO_HIT, kq * (1.0 / depth_scale), NO_HIT
                 )
-                kb_id = c_base + (kmin - kq * 128.0).astype(jnp.int32)
+                kb_id = c_base.astype(jnp.float32) + (kmin - kq * 128.0)
                 cur = acc_d_ref[sb, :]
                 take = kb_best < cur
                 acc_d_ref[sb, :] = jnp.where(take, kb_best, cur)
@@ -487,7 +589,8 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
         )
         if not depth_only:
             tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = (
-                acc_t_ref[sb, :].reshape(sub_rows, tile_w)
+                acc_t_ref[sb, :].astype(jnp.int32).reshape(
+                    sub_rows, tile_w)
             )
 
 
@@ -495,7 +598,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
     jax.jit,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "sub_rows",
-        "depth_only", "interpret", "map_tid",
+        "depth_only", "interpret", "map_tid", "winner",
     ),
 )
 def rasterize_pairs(
@@ -510,6 +613,7 @@ def rasterize_pairs(
     y0_tiles=0,
     interpret: bool = False,
     map_tid: bool = True,
+    winner: str = "argmin2",
 ):
     """Rasterize an exact pair stream to (depth, triangle-id) buffers.
 
@@ -535,6 +639,7 @@ def rasterize_pairs(
         n_tx=n_tx,
         sub_rows=sub_rows,
         depth_only=depth_only,
+        winner=winner,
     )
 
     def tile_index(t, *prefetch):
@@ -557,7 +662,7 @@ def rasterize_pairs(
             pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
                        jnp.float32),
             pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
-                       jnp.int32),
+                       jnp.float32),
         ],
     )
     out_shape = (
@@ -624,6 +729,7 @@ def _pair_fused_kernel(
     n_tx: int,
     sub_rows: int,
     texture_size: int,
+    winner: str,
 ):
     """Phase 1: exact-pair visibility raster (identical to _pair_kernel).
     Phase 2: re-walk ONLY the slices containing winners (per-range
@@ -655,6 +761,7 @@ def _pair_fused_kernel(
          (gbounds_ref[0], gbounds_ref[1])],
         acc_d_ref, acc_t_ref,
         tile_h=tile_h, tile_w=tile_w, sub_rows=sub_rows, depth_only=False,
+        winner=winner,
     )
 
     # ---- phase 2: winner-record fetch
@@ -764,7 +871,7 @@ def _pair_fused_kernel(
     jax.jit,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "sub_rows",
-        "texture_size", "interpret",
+        "texture_size", "interpret", "winner",
     ),
 )
 def rasterize_pairs_fused(
@@ -778,6 +885,7 @@ def rasterize_pairs_fused(
     texture_size: int = 256,
     y0_tiles=0,
     interpret: bool = False,
+    winner: str = "argmin2",
 ):
     """Rasterize + interpolate in one kernel.
 
@@ -804,6 +912,7 @@ def rasterize_pairs_fused(
         n_tx=n_tx,
         sub_rows=sub_rows,
         texture_size=texture_size,
+        winner=winner,
     )
 
     def tile_index(t, *prefetch):
@@ -831,7 +940,7 @@ def rasterize_pairs_fused(
             pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
                        jnp.float32),
             pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
-                       jnp.int32),
+                       jnp.float32),
         ],
     )
     out_shape = (

@@ -147,6 +147,105 @@ def _pcf_taps_from_rows(table, wp: int, dim_y: int, dim_x: int,
     return total / count
 
 
+def compute_pcf_packed_y(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
+                         radius: int = 2, scale: float = 1.5,
+                         bias: float = 0.0, ygroup: int = 4):
+    """compute_pcf_packed with ``ygroup`` consecutive shadow ROWS packed
+    per table row. Exact tap-for-tap vs ``compute_pcf``.
+
+    Row q of the (nq*wp, ygroup*w_win) table holds the x windows of
+    shadow rows ygroup*q .. ygroup*q+ygroup-1 at every x: channel
+    (r*w_win + dx) of row (q*wp + x) = sm[ygroup*q + r, x + lo + dx].
+    Two effects vs the plain row table: rows drop ygroup-x (1.05M ->
+    264k at 1024^2, under the ~200k-row gather knee) and the (2r+1)
+    per-tap-row gathers collapse to ceil((span+ygroup-1)/ygroup)+1 = 3
+    window gathers; taps resolve with small static-channel selects.
+
+    The build avoids every known relayout trap: per-channel 1-D
+    dynamic_slice + reshape + block slice (contiguous 4 KB blocks, no
+    lane interleave), one contiguous channel-major stack, ONE narrow
+    transpose (the same class the plain build already pays, at the same
+    element count).
+    """
+    lo = int(np.floor(-scale * radius))
+    hi = int(np.ceil(scale * radius))
+    w_win = hi - lo + 1
+    dim_y, dim_x = shadowmap.shape[-2], shadowmap.shape[-1]
+    assert dim_y % ygroup == 0
+    nq = dim_y // ygroup
+
+    sm_p = jnp.pad(shadowmap, ((0, 0), (-lo, hi)), mode="wrap")
+    wp = dim_x + w_win - 1
+    flat = jnp.pad(sm_p.reshape(-1), ((0, ygroup * wp),), mode="wrap")
+    chans = []
+    for r in range(ygroup):
+        for dx in range(w_win):
+            sl = jax.lax.dynamic_slice(
+                flat, (r * wp + dx,), (nq * ygroup * wp,)
+            )
+            chans.append(
+                sl.reshape(nq, ygroup * wp)[:, :wp].reshape(-1)
+            )
+    table = jnp.stack(chans, 0).T  # (nq*wp, ygroup*w_win)
+
+    w = shadow_coord[..., 3, None]
+    sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
+    z = sc[..., 2]
+    w_post = sc[..., 3]
+    in_range = (z > -1.0) & (z < 1.0) & (w_post > 0.0)
+    z_cmp = z - bias
+    fx = sc[..., 0] * dim_x
+    fy = sc[..., 1] * dim_y
+    xb = jnp.floor(fx)
+    xm = jnp.mod(xb, dim_x)
+    frx = fx - xb
+
+    # Pack-row window: the (2*radius+1) tap rows iy = floor(fy+scale*oy)
+    # span [floor(fy-scale*radius), ceil(fy+scale*radius)] — at most
+    # span+1 rows, covered by n_q = ceil((span+ygroup)/ygroup) + ...
+    # conservatively span//ygroup + 2 pack rows starting at
+    # qmin = floor(iy_min / ygroup). All in f32 exact-int arithmetic;
+    # wrap at pack granularity (dim_y % ygroup == 0 keeps mod exact).
+    iy_min = jnp.floor(fy + scale * (-radius))
+    qmin = jnp.floor(iy_min / ygroup)
+    span_rows = int(np.ceil(scale * radius)) - int(np.floor(-scale * radius))
+    n_q = span_rows // ygroup + 2
+    rows = []
+    for k in range(n_q):
+        qk = jnp.mod(qmin + k, nq)
+        rows.append(table[(qk * wp + xm).astype(jnp.int32)])
+
+    total = 0.0
+    count = 0
+    for oy in range(-radius, radius + 1):
+        iy = jnp.floor(fy + scale * oy)
+        qt = jnp.floor(iy / ygroup)
+        k_rel = qt - qmin  # 0 .. n_q-1
+        r = iy - qt * ygroup  # 0 .. ygroup-1
+        # Resolve this tap row's w_win window once: pack-row select over
+        # k_rel, then y-sub-row select over r (static channel slices).
+        rowsel = rows[0]
+        for kk in range(1, n_q):
+            rowsel = jnp.where((k_rel == kk)[..., None], rows[kk], rowsel)
+        win = rowsel[..., 0:w_win]
+        for rr in range(1, ygroup):
+            win = jnp.where((r == rr)[..., None],
+                            rowsel[..., rr * w_win:(rr + 1) * w_win], win)
+        for ox in range(-radius, radius + 1):
+            so = scale * ox
+            c0 = int(np.floor(so)) - lo
+            if so == np.floor(so):
+                dist = win[..., c0]
+            else:
+                thr = np.ceil(so) - so
+                dist = jnp.where(frx >= thr, win[..., c0 + 1],
+                                 win[..., c0])
+            occluded = in_range & (dist < z_cmp)
+            total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
+            count += 1
+    return total / count
+
+
 def compute_pcf_packed_roll(shadowmap: jnp.ndarray,
                             shadow_coord: jnp.ndarray,
                             radius: int = 2, scale: float = 1.5,
@@ -360,6 +459,9 @@ def compute_pcf_half(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                                     scale=scale, bias=bias,
                                     interpret=jax.default_backend()
                                     == "cpu")
+    elif inner == "packed_y" and shadowmap.shape[-2] % 4 == 0:
+        f = compute_pcf_packed_y(shadowmap, sc, radius=radius,
+                                 scale=scale, bias=bias, ygroup=4)
     else:
         f = compute_pcf_packed(shadowmap, sc, radius=radius, scale=scale,
                                bias=bias)  # (h/2, w/2)

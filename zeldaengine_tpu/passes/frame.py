@@ -35,8 +35,10 @@ from zeldaengine_tpu.ops.rasterize import (
 )
 from zeldaengine_tpu.ops.rasterize_pallas import (
     build_pairs,
+    compact_setup,
     rasterize_pairs,
     rasterize_pairs_fused,
+    remap_pair_tri,
 )
 from zeldaengine_tpu.ops.culling import expand_meshlet_mask, meshlet_cull
 from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
@@ -99,20 +101,37 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
                 constant_values=1.0,
             )
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
+        orig_t = setup.edge.shape[0]
+        setup, _, cidx, covf = _maybe_compact(setup, None, config)
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                             expand=config.pair_expand, y0_tiles=y0_tiles,
                             max_pairs=config.max_pairs)
+        if cidx is not None:
+            pairs = remap_pair_tri(pairs, cidx, orig_t)
         depth, tid = rasterize_pairs(
             pairs, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
             tile_w=config.tile_w, sub_rows=config.sub_rows,
             y0_tiles=y0_tiles,
         )
-        return depth[:height, :width], tid[:height, :width], pairs.overflow
+        return (depth[:height, :width], tid[:height, :width],
+                pairs.overflow + covf)
     d, t = rasterize_visibility(
         setup, height, width, chunk=config.tri_chunk, init_depth=init_depth,
         y0=y0,
     )
     return d, t, jnp.int32(0)
+
+
+def _maybe_compact(setup, extra, config: EngineConfig):
+    """Apply live-triangle compaction when ``config.compact_tris`` is
+    set (meshlet-scale scenes: prep cost tracks the live count instead
+    of pool capacity)."""
+    if config.compact_tris is None or \
+            config.compact_tris >= setup.edge.shape[0]:
+        return setup, extra, None, jnp.int32(0)
+    s2, e2, idx, ovf = compact_setup(setup, config.compact_tris,
+                                     extra=extra)
+    return s2, e2, idx, ovf
 
 
 def _fused_extra(scene, setup, world, n_world):
@@ -141,16 +160,20 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
             constant_values=1.0,
         )
     y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
+    orig_t = setup.edge.shape[0]
+    setup, extra, cidx, covf = _maybe_compact(setup, extra, config)
     pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                         expand=config.pair_expand, y0_tiles=y0_tiles,
                         extra=extra, max_pairs=config.max_pairs)
+    if cidx is not None:
+        pairs = remap_pair_tri(pairs, cidx, orig_t)
     depth, tid, planes = rasterize_pairs_fused(
         pairs, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
         tile_w=config.tile_w, sub_rows=config.sub_rows,
         texture_size=config.texture_size, y0_tiles=y0_tiles,
     )
     return (depth[:height, :width], tid[:height, :width],
-            planes[:, :height, :width], pairs.overflow)
+            planes[:, :height, :width], pairs.overflow + covf)
 
 
 def _apply_wireframe(attrs: SurfaceAttributes, depth, tid,
@@ -172,6 +195,7 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
     height = rows if rows is not None else dim
     if _use_pallas(config, band, height):
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
+        setup, _, _, covf = _maybe_compact(setup, None, config)
         pairs = build_pairs(setup, dim, height, config.tile_h,
                             config.tile_w,
                             expand=config.pair_expand_shadow,
@@ -180,7 +204,7 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
         return rasterize_pairs(
             pairs, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
             sub_rows=config.sub_rows, depth_only=True, y0_tiles=y0_tiles,
-        ), pairs.overflow
+        ), pairs.overflow + covf
     return (rasterize_depth(setup, height, dim, chunk=config.tri_chunk,
                             y0=y0), jnp.int32(0))
 
@@ -190,6 +214,19 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
     if "nopcf" in config.ablate:  # diagnostic ablation
         return jnp.ones(world_pos.shape[:-1], jnp.float32)
     sc = compute_shadow_coord(view.shadow_space, world_pos)
+    if config.pcf_backend in ("packed_y4", "packed_y8") \
+            and config.shadowmap_dim % 8 == 0:
+        # Y-packed row table: ygroup shadow rows per table row -> 4-8x
+        # fewer gather rows AND 5 row gathers -> 3 window gathers; the
+        # build uses only contiguous slices + one narrow transpose
+        # (same class the plain build pays). Exact tap-for-tap.
+        from zeldaengine_tpu.ops.shadow import compute_pcf_packed_y
+
+        return compute_pcf_packed_y(
+            shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+            bias=config.shadow_bias,
+            ygroup=int(config.pcf_backend[len("packed_y"):]),
+        )
     if config.pcf_backend in ("packed4", "packed8", "packed16"):
         # Group-fused row table: 4-16x fewer gather rows (exact).
         from zeldaengine_tpu.ops.shadow import compute_pcf_packed4
@@ -199,8 +236,8 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
             bias=config.shadow_bias,
             group=int(config.pcf_backend[len("packed"):]),
         )
-    if config.pcf_backend in ("half", "half_nearest", "half_wr") \
-            and sc.ndim == 3:
+    if config.pcf_backend in ("half", "half_nearest", "half_wr",
+                              "half_y4") and sc.ndim == 3:
         # Half-res exact taps + 2x upsample: 4x fewer gather indices
         # (VERDICT r2 #10); one-tap-quantum error along penumbra edges.
         # "half_wr" additionally collapses the 5 row gathers into ONE
@@ -212,8 +249,8 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
             bias=config.shadow_bias,
             upsample="nearest" if config.pcf_backend == "half_nearest"
             else "linear",
-            inner="window_roll" if config.pcf_backend == "half_wr"
-            else "packed",
+            inner={"half_wr": "window_roll",
+                   "half_y4": "packed_y"}.get(config.pcf_backend, "packed"),
         )
     if config.pcf_backend == "window1":
         # ONE gather per pixel from a 2-D window table (exact).
