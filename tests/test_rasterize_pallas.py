@@ -28,9 +28,12 @@ def _random_setup(rng, n=300, two_sided=True):
 
 
 @pytest.mark.parametrize("expand", [2, 8])
-def test_pairs_matches_jnp(rng, expand):
+@pytest.mark.parametrize("winner", ["accwide", "argmin2"])
+def test_pairs_matches_jnp(rng, expand, winner):
     """Exact-pair rasterizer vs jnp reference; small expand caps force
-    triangles through the global overflow bucket."""
+    triangles through the global overflow bucket. ``accwide`` (the
+    default full-width-accumulator walk) must match ``argmin2``'s
+    semantics exactly."""
     from zeldaengine_tpu.ops.rasterize_pallas import (
         build_pairs,
         rasterize_pairs,
@@ -41,7 +44,7 @@ def test_pairs_matches_jnp(rng, expand):
     pairs = build_pairs(setup, W, H, TILE_H, TILE_W, expand=expand)
     depth, tid = rasterize_pairs(
         pairs, H, W, tile_h=TILE_H, tile_w=TILE_W, sub_rows=8,
-        interpret=True,
+        interpret=True, winner=winner,
     )
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth),
                                atol=5e-5)

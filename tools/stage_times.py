@@ -202,6 +202,7 @@ def main():
                     tile_h=config.tile_h, tile_w=config.tile_w,
                     sub_rows=config.sub_rows,
                     texture_size=config.texture_size,
+                    winner=args.winner,
                 )
                 return jnp.sum(d) + jnp.sum(planes[1])
 
@@ -260,7 +261,7 @@ def main():
                     pairs, config.shadowmap_dim, config.shadowmap_dim,
                     init_depth=init, tile_h=config.tile_h,
                     tile_w=config.tile_w, sub_rows=config.sub_rows,
-                    depth_only=True,
+                    depth_only=True, winner=args.winner,
                 )
                 return jnp.sum(d)
 

@@ -331,6 +331,14 @@ def count_oversized(setup: TriangleSetup, width: int, height: int,
     return jnp.sum(live & (ncov > expand)).astype(jnp.int32)
 
 
+def _acc_shape(tile_h: int, tile_w: int, sub_rows: int, winner: str):
+    """VMEM accumulator shape: per-sub-block lane-major vectors for the
+    reducing walks, full (p_sub, 128) candidate planes for accwide."""
+    if winner == "accwide":
+        return (tile_h // sub_rows, sub_rows * tile_w, 128)
+    return (tile_h // sub_rows, sub_rows * tile_w)
+
+
 def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
     """Build a double-buffered slice walker over two pair-index ranges.
 
@@ -447,10 +455,107 @@ def _pair_kernel(
     )
 
 
+def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
+                             tid_ref, base_x, base_y, ranges, acc_d_ref,
+                             acc_t_ref, *, tile_h: int, tile_w: int,
+                             sub_rows: int, depth_only: bool):
+    """Full-width accumulator walk: per-visit state is the whole
+    (p_sub, 128) candidate plane — ``acc_d = min(acc_d, cand)`` (+ a
+    compare-select pid plane when tracking winners) — and the cross-LANE
+    argmin happens ONCE per tile in the epilogue instead of once per
+    visit. The per-visit cross-lane min reduction (log2(128) shuffle
+    steps over 128 vregs) was the single largest cost of the old walk:
+    the hardware decomposition measured winner tracking at ~18 ms over
+    the depth-only floor (BASELINE.md round-3c), almost all of it the
+    per-visit reduce + compare-select chain this layout deletes. Pixel
+    iotas are computed once per tile (the old body re-derived px/py per
+    sub-block per visit inside the fori_loop, where Mosaic does not
+    hoist them).
+
+    Winner semantics are identical to ``argmin2``: the winning pair is
+    the LOWEST pair id among the minimum-depth candidates (per lane the
+    strict ``<`` keeps the earliest visit; the epilogue takes the min
+    pid across tied lanes), and init_depth wins ties (tid -1)."""
+    n_sub = tile_h // sub_rows
+    p_sub = sub_rows * tile_w
+    lane_f = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 128), 1
+    ).astype(jnp.float32)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
+    px = (base_x + jnp.mod(lin, tile_w)).astype(jnp.float32) + 0.5
+    py0 = (base_y + lin // tile_w).astype(jnp.float32) + 0.5
+    pys = [py0 + float(sb * sub_rows) for sb in range(n_sub)]
+
+    for sb in range(n_sub):
+        acc_d_ref[sb] = jnp.full((p_sub, 128), NO_HIT, jnp.float32)
+        if not depth_only:
+            acc_t_ref[sb] = jnp.full((p_sub, 128), -1.0, jnp.float32)
+
+    def raster_body(slot, c_base, lo, hi, carry):
+        lane_ok = (
+            (lane_f >= (lo - c_base).astype(jnp.float32))
+            & (lane_f < (hi - c_base).astype(jnp.float32))
+        )
+        if not depth_only:
+            pid_f = c_base.astype(jnp.float32) + lane_f
+
+        for sb in range(n_sub):
+            py = pys[sb]
+
+            def form(r):
+                return (
+                    px * scratch_ref[slot, r : r + 1, :]
+                    + py * scratch_ref[slot, r + 1 : r + 2, :]
+                    + scratch_ref[slot, r + 2 : r + 3, :]
+                )  # (p_sub, 128)
+
+            e0 = form(0)
+            e1 = form(3)
+            e2 = form(6)
+            d = (
+                e0 * scratch_ref[slot, 9:10, :]
+                + e1 * scratch_ref[slot, 10:11, :]
+                + e2 * scratch_ref[slot, 11:12, :]
+            )
+            esum = e0 + e1 + e2
+            emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+            inside = (
+                (emin >= 0.0) & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+            ) & lane_ok
+            cand = jnp.where(inside, d, NO_HIT)
+            if depth_only:
+                acc_d_ref[sb] = jnp.minimum(cand, acc_d_ref[sb])
+            else:
+                cur = acc_d_ref[sb]
+                take = cand < cur
+                acc_d_ref[sb] = jnp.where(take, cand, cur)
+                acc_t_ref[sb] = jnp.where(take, pid_f, acc_t_ref[sb])
+        return carry
+
+    walk(ranges, raster_body)
+
+    for sb in range(n_sub):
+        a = acc_d_ref[sb]
+        lane_min = jnp.min(a, axis=1)  # (p_sub,)
+        init = init_ref[pl.ds(sb * sub_rows, sub_rows), :].reshape(p_sub)
+        win = lane_min < init  # init_depth wins ties (tid stays -1)
+        depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = jnp.where(
+            win, lane_min, init
+        ).reshape(sub_rows, tile_w)
+        if not depth_only:
+            pid_min = jnp.min(
+                jnp.where(a == lane_min[:, None], acc_t_ref[sb], NO_HIT),
+                axis=1,
+            )
+            tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = jnp.where(
+                win, pid_min, -1.0
+            ).astype(jnp.int32).reshape(sub_rows, tile_w)
+
+
 def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
                      base_x, base_y, ranges, acc_d_ref, acc_t_ref, *,
                      tile_h: int, tile_w: int, sub_rows: int,
-                     depth_only: bool, winner: str = "argmin2"):
+                     depth_only: bool, winner: str = "accwide"):
     """Phase-1 visibility walk (z-test + winner tracking), shared by the
     plain pair kernel and the fused kernel.
 
@@ -462,7 +567,17 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
     tile — per-visit ``ref[(rows, lanes)] <-> (p_sub,)`` reshapes are
     sublane<->lane relayouts that cost more than the edge math. (A
     fori_loop-carry variant hit a Mosaic abort: ``min(axis=1) ->
-    reshape -> carry`` fails to lower, probe 2026-08-17.)"""
+    reshape -> carry`` fails to lower, probe 2026-08-17.)
+
+    ``winner="accwide"`` dispatches to the full-width accumulator walk
+    (no per-visit cross-lane reduction; see _run_raster_walk_accwide).
+    """
+    if winner == "accwide":
+        return _run_raster_walk_accwide(
+            walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x,
+            base_y, ranges, acc_d_ref, acc_t_ref, tile_h=tile_h,
+            tile_w=tile_w, sub_rows=sub_rows, depth_only=depth_only,
+        )
     n_sub = tile_h // sub_rows
     p_sub = sub_rows * tile_w
     lane_f = jax.lax.broadcasted_iota(
@@ -613,7 +728,7 @@ def rasterize_pairs(
     y0_tiles=0,
     interpret: bool = False,
     map_tid: bool = True,
-    winner: str = "argmin2",
+    winner: str = "accwide",
 ):
     """Rasterize an exact pair stream to (depth, triangle-id) buffers.
 
@@ -659,9 +774,10 @@ def rasterize_pairs(
         scratch_shapes=[
             pltpu.VMEM((4, pairs.records.shape[1], 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
+            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner),
                        jnp.float32),
-            pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
+            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner)
+                       if not depth_only else (1, 8, 128),
                        jnp.float32),
         ],
     )
@@ -885,7 +1001,7 @@ def rasterize_pairs_fused(
     texture_size: int = 256,
     y0_tiles=0,
     interpret: bool = False,
-    winner: str = "argmin2",
+    winner: str = "accwide",
 ):
     """Rasterize + interpolate in one kernel.
 
@@ -937,9 +1053,9 @@ def rasterize_pairs_fused(
             pltpu.VMEM((4, rec_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.VMEM((rec_rows, tile_h, tile_w), jnp.float32),
-            pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
+            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner),
                        jnp.float32),
-            pltpu.VMEM((tile_h // sub_rows, sub_rows * tile_w),
+            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner),
                        jnp.float32),
         ],
     )
