@@ -100,6 +100,33 @@ VARIANTS = {
                              "pcf_backend": "half",
                              "max_pairs": 512 * 1024,
                              "max_pairs_shadow": 320 * 1024},
+    # Round-3e (accwide era): batched-index PCF gather, combined bests.
+    "fused_pcfb": {"raster": "fused", "pcf_backend": "packed_b"},
+    "best_half_caps": {"raster": "fused", "pcf_backend": "half",
+                       "_adaptive_caps": True,
+                       "max_pairs": 384 * 1024,
+                       "max_pairs_shadow": 256 * 1024},
+    # Round-3f: VMEM-resident Pallas PCF (exact; ~4.5 ms standalone).
+    "fused_pcfvmem": {"raster": "fused", "pcf_backend": "vmem"},
+    "fused_vmem_cap": {"raster": "fused", "pcf_backend": "vmem",
+                       "max_pairs": 384 * 1024,
+                       "max_pairs_shadow": 256 * 1024},
+    # Post-vmem attribution: split the lighting ablation into its
+    # direct-loop and IBL-reflection (cubemap gather) halves.
+    "vm_norefl": {"raster": "fused", "pcf_backend": "vmem",
+                  "ablate": "norefl"},
+    "vm_nodirect": {"raster": "fused", "pcf_backend": "vmem",
+                    "ablate": "nodirect"},
+    "vm_notex": {"raster": "fused", "pcf_backend": "vmem",
+                 "ablate": "notex"},
+    "vm_nosky": {"raster": "fused", "pcf_backend": "vmem",
+                 "ablate": "nosky"},
+    "vm_nolight": {"raster": "fused", "pcf_backend": "vmem",
+                   "ablate": "nolight"},
+    "vm_nopcf": {"raster": "fused", "pcf_backend": "vmem",
+                 "ablate": "nopcf"},
+    "vm_noshadow": {"raster": "fused", "pcf_backend": "vmem",
+                    "enable_shadow": False},
 }
 
 

@@ -106,6 +106,11 @@ class EngineConfig:
     # exceeds pcf_window texels); "exact" = 25 XLA gathers.
     pcf_backend: str = "auto"
     pcf_window: int = 256  # Pallas-backend shadow window (texels)
+    # "vmem" backend: rows resolved by the kernel's window walk per
+    # (8, 128)-pixel block. 48 fits 100% of demo blocks (tap halo
+    # included — tools/shadow_span_tpu.py); unfit blocks fall back to
+    # an exact in-graph compute_pcf recompute.
+    pcf_vmem_rows: int = 48
 
     # Wireframe debug mode (ENABLE_WIREFRAME, ZeldaEngine.cpp:90 /
     # polygonMode LINE :5108-5110): only pixels within this barycentric

@@ -297,7 +297,7 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
 def shade_pixels(
     base_color, metallic, roughness, normal, ao, world_pos,
     shadow_factor, view, cube_atlas, cubemap_size, tiled_points=None,
-    env_fetch=None,
+    env_fetch=None, ablate: str = "",
 ):
     """Full lighting shared by forward and deferred paths.
 
@@ -322,19 +322,25 @@ def shade_pixels(
     ndotv = pbr.saturate(jnp.sum(n * v, -1))
     diffuse_color = base_color * (1.0 - metallic[..., None])
 
-    direct = direct_lighting(
-        diffuse_color, roughness, n, world_pos, v, ndotv, shadow_factor,
-        view.dir_lights, view.lights_count[0],
-        view.point_lights, view.lights_count[1],
-        view.spot_lights, view.lights_count[2],
-        tiled_points=tiled_points,
-    )
+    if "nodirect" in ablate:  # diagnostic ablation
+        direct = jnp.zeros_like(base_color)
+    else:
+        direct = direct_lighting(
+            diffuse_color, roughness, n, world_pos, v, ndotv, shadow_factor,
+            view.dir_lights, view.lights_count[0],
+            view.point_lights, view.lights_count[1],
+            view.spot_lights, view.lights_count[2],
+            tiled_points=tiled_points,
+        )
     indirect = diffuse_color / jnp.pi * (ao * 0.3 * shadow_factor)[..., None]
-    refl = reflection_color(
-        base_color, metallic, roughness, n, v, ndotv, ao,
-        cube_atlas, cubemap_size, view.lights_count[3],
-        specular=specular, env_fetch=env_fetch,
-    )
+    if "norefl" in ablate:  # diagnostic ablation
+        refl = jnp.zeros_like(base_color)
+    else:
+        refl = reflection_color(
+            base_color, metallic, roughness, n, v, ndotv, ao,
+            cube_atlas, cubemap_size, view.lights_count[3],
+            specular=specular, env_fetch=env_fetch,
+        )
     return {
         "direct": direct,
         "indirect": indirect,

@@ -56,7 +56,8 @@ def _shadow_tap(shadowmap: jnp.ndarray, sc, offset_u, offset_v, bias=0.0):
 
 def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                        radius: int = 2, scale: float = 1.5,
-                       bias: float = 0.0, _ablate_const_table: bool = False):
+                       bias: float = 0.0, _ablate_const_table: bool = False,
+                       batch_rows: bool = False):
     """ComputePCF via a row-packed shadow table: EXACT (matches
     ``compute_pcf`` tap-for-tap everywhere, including grazing angles where
     the windowed Pallas kernel clamps) at (2r+1) gathers per pixel.
@@ -102,14 +103,22 @@ def compute_pcf_packed(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
         table = shifts.T  # (span, w_win)
 
     return _pcf_taps_from_rows(table, wp, dim_y, dim_x, shadow_coord,
-                               radius, scale, bias, lo)
+                               radius, scale, bias, lo,
+                               batch_rows=batch_rows)
 
 
 def _pcf_taps_from_rows(table, wp: int, dim_y: int, dim_x: int,
                         shadow_coord, radius: int, scale: float,
-                        bias: float, lo: int):
+                        bias: float, lo: int, batch_rows: bool = False):
     """Shared tap logic over an x-window row table: table[y*wp + x]
-    holds sm[y, x+lo .. x+lo+w-1] (wrap addressing)."""
+    holds sm[y, x+lo .. x+lo+w-1] (wrap addressing).
+
+    ``batch_rows`` stacks the (2r+1) per-row index planes and issues ONE
+    gather of shape (2r+1, ..., w_win) instead of one gather per tap row:
+    TPU gather cost is dominated by a per-OP overhead, nearly flat in
+    index count at frame scale (half-res PCF cut indices 4x and saved
+    almost nothing on the gathers — BASELINE.md round-3 ledger), so 5
+    gathers -> 1 is the win the per-index model said was impossible."""
     w = shadow_coord[..., 3, None]
     sc = shadow_coord / jnp.where(jnp.abs(w) > 1e-20, w, 1.0)
     z = sc[..., 2]
@@ -121,17 +130,38 @@ def _pcf_taps_from_rows(table, wp: int, dim_y: int, dim_x: int,
     xb = jnp.floor(fx).astype(jnp.int32)
     xm = jnp.mod(xb, dim_x)
 
+    oys = list(range(-radius, radius + 1))
+    if batch_rows:
+        idx = jnp.stack(
+            [
+                jnp.mod(jnp.floor(fy + scale * oy).astype(jnp.int32),
+                        dim_y) * wp + xm
+                for oy in oys
+            ],
+            0,
+        )  # (2r+1, ...)
+        rows_all = table[idx]  # ONE gather: (2r+1, ..., w_win)
+
     # X-tap channel: floor(fx + scale*ox) - xb = floor(frx + scale*ox)
     # with frx in [0, 1) takes at most TWO values — floor(scale*ox) and
     # floor(scale*ox)+1, split at frx >= ceil(scale*ox) - scale*ox. So
     # each tap is a static channel read or one 2-way select instead of a
     # one-hot reduction over the whole window.
     frx = fx - jnp.floor(fx)
+    # The in_range gate is per-PIXEL, so it folds out of the tap loop
+    # (saves one `and` per tap) — but the 0.1/1.0 map must stay per-tap
+    # in tap order: folding it to `count - 0.9 * occ_n` is algebraically
+    # equal yet differs in ULPs from compute_pcf's sequential sum, and
+    # the golden tests require bitwise parity.
     total = 0.0
     count = 0
-    for oy in range(-radius, radius + 1):
-        iy = jnp.mod(jnp.floor(fy + scale * oy).astype(jnp.int32), dim_y)
-        row = table[iy * wp + xm]  # (..., w_win) = sm[iy, xb+lo .. xb+hi]
+    for k, oy in enumerate(oys):
+        if batch_rows:
+            row = rows_all[k]
+        else:
+            iy = jnp.mod(jnp.floor(fy + scale * oy).astype(jnp.int32),
+                         dim_y)
+            row = table[iy * wp + xm]  # (..., w_win)
         for ox in range(-radius, radius + 1):
             so = scale * ox
             c0 = int(np.floor(so)) - lo
@@ -141,9 +171,9 @@ def _pcf_taps_from_rows(table, wp: int, dim_y: int, dim_x: int,
                 thr = np.ceil(so) - so
                 dist = jnp.where(frx >= thr, row[..., c0 + 1],
                                  row[..., c0])
-            occluded = in_range & (dist < z_cmp)
-            total = total + jnp.where(occluded, SHADOW_IN_FACTOR, 1.0)
+            total = total + jnp.where(dist < z_cmp, SHADOW_IN_FACTOR, 1.0)
             count += 1
+    total = jnp.where(in_range, total, float(count))
     return total / count
 
 

@@ -280,6 +280,35 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
             shadowmap, sc, radius=config.pcf_radius,
             scale=config.pcf_scale, bias=config.shadow_bias,
         )
+    if config.pcf_backend == "vmem" and sc.ndim == 3 \
+            and config.shadowmap_dim % 128 == 0:
+        # Tap loop inside a Pallas kernel with the whole shadowmap
+        # VMEM-resident: ~4.5 ms at 1080p vs ~44 ms for the XLA row-table
+        # gathers (which pay ~4.3 ns per index regardless of locality).
+        # Bitwise-equal to compute_pcf on TPU at every COVERED in-range
+        # pixel; out-of-window blocks are recomputed by compute_pcf
+        # itself inside the graph. Uncovered pixels (whose world_pos is
+        # the GBuffer default, overwritten by sky downstream) read 1.0
+        # instead of the packed path's origin-projected factor.
+        from zeldaengine_tpu.ops.pcf_vmem import compute_pcf_vmem
+
+        sf, _overflow = compute_pcf_vmem(
+            shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+            bias=config.shadow_bias, win_rows=config.pcf_vmem_rows,
+            active=valid,
+            interpret=jax.default_backend() == "cpu",
+        )
+        if valid is not None:
+            sf = jnp.where(valid, sf, 1.0)
+        return sf
+    if config.pcf_backend == "packed_b":
+        # One batched (2r+1, H, W)-index gather instead of 5 row gathers.
+        from zeldaengine_tpu.ops.shadow import compute_pcf_packed
+
+        return compute_pcf_packed(
+            shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
+            bias=config.shadow_bias, batch_rows=True,
+        )
     if config.pcf_backend in ("auto", "packed"):
         # Exact tap-for-tap vs compute_pcf AND faster than the windowed
         # Pallas kernel (whose per-tile clamp is wrong on ~8% of pixels
@@ -453,6 +482,7 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
             base_color, metallic, roughness, normal, ao, world_pos,
             shadow_factor, view, scene.cube_atlas, config.cubemap_size,
             tiled_points=tiled_points, env_fetch=env_fetch,
+            ablate=config.ablate,
         )
     final = gamma_correct(lit["final"] * mask[..., None])
 
@@ -499,7 +529,7 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
         attrs.base_color, attrs.metallic, attrs.roughness, attrs.normal,
         attrs.ao, attrs.world_pos, shadow_factor, view,
         scene.cube_atlas, config.cubemap_size, tiled_points=tiled_points,
-        env_fetch=env_fetch,
+        env_fetch=env_fetch, ablate=config.ablate,
     )
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(
