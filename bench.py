@@ -310,10 +310,12 @@ def main() -> None:
         return color
 
     def make_view(i):
-        cap_p = 16 if len(world.point_lights) <= 16 else 512
+        # Adaptive capacities (config.adaptive_light_capacity): the
+        # unrolled loop pays full BxDF per CAPACITY slot, and the
+        # reference loops only lightsCount — fixed (8, 16, 8) padding
+        # billed ~5 ms/frame of dead light math to the demo scene.
         return build_view_state(
             world, config, time=i / 60.0, roll_light=i * 0.02,
-            light_capacities=(8, cap_p, 8),
         )
 
     # The headline (config 3) reports steady-state by default: this

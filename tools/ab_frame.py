@@ -111,6 +111,17 @@ VARIANTS = {
     "fused_vmem_cap": {"raster": "fused", "pcf_backend": "vmem",
                        "max_pairs": 384 * 1024,
                        "max_pairs_shadow": 256 * 1024},
+    # Post-vmem combination re-checks (marginals change as the frame
+    # shrinks: caps/env/tiled were neutral at 157 ms).
+    "vm_caps": {"raster": "fused", "pcf_backend": "vmem",
+                "_adaptive_caps": True},
+    "vm_env": {"raster": "fused", "pcf_backend": "vmem",
+               "env_merge": True},
+    "vm_tiled": {"raster": "fused", "pcf_backend": "vmem",
+                 "tiled_lights_min": 9},
+    "vm_all": {"raster": "fused", "pcf_backend": "vmem",
+               "_adaptive_caps": True, "env_merge": True,
+               "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024},
     # Post-vmem attribution: split the lighting ablation into its
     # direct-loop and IBL-reflection (cubemap gather) halves.
     "vm_norefl": {"raster": "fused", "pcf_backend": "vmem",

@@ -286,9 +286,14 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
     if env_fetch is not None:
         refl_l = env_fetch(r, mips)[..., :3] * 10.0
     else:
+        # quad rows (4 x 4ch) need the 4-way select; mip-pair rows (13 x
+        # 4ch = 52, 52 % 13 == 0) dispatch to the ONE-gather trilinear —
+        # measured 4.5 ms vs 9 ms for the quad layout's two 64-ch
+        # gathers (gather cost is per op below ~104 ch; row count and
+        # locality are irrelevant — BASELINE.md round-3 gather curve).
         refl_l = sample_cubemap_lod(
             cube_atlas, jnp.zeros(roughness.shape, jnp.int32), r, mips,
-            cubemap_size, quad=True,
+            cubemap_size, quad=cube_atlas.shape[-1] % 13 != 0,
         )[..., :3] * 10.0
     refl_v = pbr.specular_occlusion(ndotv, roughness * roughness, ao)
     return refl_l * refl_v[..., None] * brdf

@@ -43,6 +43,7 @@ from zeldaengine_tpu.ops.rasterize_pallas import (
 from zeldaengine_tpu.ops.culling import expand_meshlet_mask, meshlet_cull
 from zeldaengine_tpu.ops.shadow import compute_shadow_coord, compute_pcf
 from zeldaengine_tpu.ops.texture import sample_base, sample_trilinear
+from zeldaengine_tpu.ops.window_tap import sample_base_window
 from zeldaengine_tpu.passes.gbuffer import (
     GBuffer,
     SurfaceAttributes,
@@ -209,6 +210,16 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                             y0=y0), jnp.int32(0))
 
 
+def _pcf_uses_vmem(config: EngineConfig) -> bool:
+    """The VMEM Pallas PCF serves "vmem" everywhere and "auto" on TPU
+    (on CPU "auto" keeps the XLA packed path — interpret-mode kernels
+    are orders of magnitude slower than jnp)."""
+    return (config.pcf_backend in ("vmem", "auto")
+            and config.shadowmap_dim % 128 == 0
+            and (config.pcf_backend == "vmem"
+                 or jax.default_backend() not in ("cpu",)))
+
+
 def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
                    valid=None):
     if "nopcf" in config.ablate:  # diagnostic ablation
@@ -280,8 +291,7 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
             shadowmap, sc, radius=config.pcf_radius,
             scale=config.pcf_scale, bias=config.shadow_bias,
         )
-    if config.pcf_backend == "vmem" and sc.ndim == 3 \
-            and config.shadowmap_dim % 128 == 0:
+    if _pcf_uses_vmem(config) and sc.ndim == 3:
         # Tap loop inside a Pallas kernel with the whole shadowmap
         # VMEM-resident: ~4.5 ms at 1080p vs ~44 ms for the XLA row-table
         # gathers (which pay ~4.3 ns per index regardless of locality).
@@ -312,8 +322,8 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
     if config.pcf_backend in ("auto", "packed"):
         # Exact tap-for-tap vs compute_pcf AND faster than the windowed
         # Pallas kernel (whose per-tile clamp is wrong on ~8% of pixels
-        # in footprint-heavy scenes) — the default. Every round-3
-        # alternative measured slower (BASELINE.md A/B ledger).
+        # in footprint-heavy scenes) — the CPU default and the TPU
+        # fallback when the vmem kernel's preconditions fail.
         from zeldaengine_tpu.ops.shadow import compute_pcf_packed
 
         return compute_pcf_packed(
@@ -345,7 +355,7 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
 
 
 def _debug_switch(debug_view, final, attrs: SurfaceAttributes, shadow_factor,
-                  reflection, extra_case9=None):
+                  reflection, extra_case9=None, shadow_factor_vis=None):
     """The SPEC_CONSTANTS switch of Base.frag:119-143 (forward) and
     BaseLighting.frag:237-253 (deferred when ``extra_case9`` is given).
 
@@ -366,7 +376,12 @@ def _debug_switch(debug_view, final, attrs: SurfaceAttributes, shadow_factor,
         lambda: c(attrs.ao),
         lambda: c(attrs.vertex_color),
         lambda: c(reflection),
-        lambda: c(shadow_factor),
+        # Case 8 displays the factor RAW — when the vmem PCF backend
+        # gated uncovered pixels to 1.0 (sky overwrites them in the
+        # composed image but not in this view), the caller provides an
+        # exact ungated recompute thunk; lazy inside the switch branch.
+        (lambda: c(shadow_factor_vis())) if shadow_factor_vis is not None
+        else (lambda: c(shadow_factor)),
         extra_case9 if extra_case9 is not None else (lambda: final),
     ]
     return jax.lax.switch(jnp.clip(debug_view, 0, 9), branches)
@@ -443,7 +458,7 @@ def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
     r = pbr.refract(v, normal, 1.0 / 1.52)
     refl = sample_cubemap_lod(
         cube_atlas, jnp.zeros(x.shape, jnp.int32), r, jnp.zeros(x.shape),
-        config.cubemap_size, quad=True,
+        config.cubemap_size, quad=cube_atlas.shape[-1] % 13 != 0,
     )[..., :3] * 10.0
     put(1, 2, refl)
     # (2,2): shadow factor — reuse the frame's computed factor, warped by
@@ -472,6 +487,15 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
 
     shadow_factor = _shadow_factor(shadowmap, world_pos, view, config,
                                    valid=gbuf.depth < 1.0)
+    # Exact ungated recompute for the raw-factor debug views (8 and the
+    # view-9 contact sheet); None when the main factor is already exact
+    # everywhere. Lazy: only evaluated inside the selected switch branch.
+    sf_ungated = None
+    if _pcf_uses_vmem(config):
+        def sf_ungated():
+            return _shadow_factor(
+                shadowmap, world_pos, view,
+                config.replace(pcf_backend="packed"))
     if "nolight" in config.ablate:  # diagnostic ablation
         lit = {"final": base_color * shadow_factor[..., None],
                "reflection": jnp.zeros_like(base_color)}
@@ -508,15 +532,23 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
         # Lazy: GBufferVis (its own PCF + cubemap taps) must only run when
         # debug view 9 is selected, so it lives inside the switch branch.
         def vis_thunk():
+            # The vmem PCF backend leaves UNCOVERED pixels at 1.0 (they
+            # are overwritten by sky in the composed image), but the
+            # view-9 contact sheet displays the factor raw — recompute
+            # it ungated via the XLA packed path for exact parity with
+            # the CPU goldens. Lives inside the switch branch: costs
+            # nothing unless debug view 9 is selected.
+            sf_vis = (sf_ungated() if sf_ungated is not None
+                      else shadow_factor)
             return _gbuffer_vis(gbuf, shadowmap, final, view, config,
                                 scene.cube_atlas,
-                                shadow_factor=shadow_factor)
+                                shadow_factor=sf_vis)
     else:
         def vis_thunk():
             return final
     return _debug_switch(
         view.debug_view, final, attrs, shadow_factor, lit["reflection"],
-        extra_case9=vis_thunk,
+        extra_case9=vis_thunk, shadow_factor_vis=sf_ungated,
     )
 
 
@@ -525,6 +557,12 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
     """Base.frag main(): forward PBR with the case-0 ShadowFactor multiply."""
     shadow_factor = _shadow_factor(shadowmap, attrs.world_pos, view, config,
                                    valid=attrs.covered)
+    sf_ungated = None
+    if _pcf_uses_vmem(config):
+        def sf_ungated():
+            return _shadow_factor(
+                shadowmap, attrs.world_pos, view,
+                config.replace(pcf_backend="packed"))
     lit = shade_pixels(
         attrs.base_color, attrs.metallic, attrs.roughness, attrs.normal,
         attrs.ao, attrs.world_pos, shadow_factor, view,
@@ -534,7 +572,7 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(
         view.debug_view, final, attrs, shadow_factor, lit["reflection"],
-        extra_case9=None,
+        extra_case9=None, shadow_factor_vis=sf_ungated,
     )
 
 
@@ -638,17 +676,32 @@ def _sky_ray(scene, view, height, width, config: EngineConfig, y0):
     return uv, sky_depth, hit
 
 
+def _tap_uses_window(planes, size: int) -> bool:
+    """Windowed VMEM tap preconditions (ops/window_tap.py): square
+    %256 plane stack present, running on an accelerator (the kernel is
+    bitwise-equal to sample_base, so backends stay golden-compatible)."""
+    return (planes is not None and planes.ndim == 3
+            and planes.shape[1] == planes.shape[2] == size
+            and size % 256 == 0
+            and jax.default_backend() not in ("cpu",))
+
+
 def _skydome_analytic(scene, view, depth, color, show_env, height, width,
                       config: EngineConfig, y0):
     """Analytic skydome pass (ray + one sky gather + compose)."""
     uv, sky_depth, hit = _sky_ray(scene, view, height, width, config, y0)
     sky_mask = hit & (sky_depth < depth) & show_env
-    sky_rgb = gamma_correct(
-        sample_base(
+    if _tap_uses_window(scene.sky_planes, config.background_size):
+        # Windowed VMEM tap: ~5.7 ms full-screen -> ~2 ms with the
+        # active-block skip, vs ~30 ms for the XLA gather (BASELINE.md).
+        tap, _ovf = sample_base_window(
+            scene.sky_planes, uv, sky_mask, config.background_size)
+    else:
+        tap = sample_base(
             scene.sky_tex, jnp.zeros(uv.shape[:2], jnp.int32), uv,
             config.background_size, quad=True,
-        )[..., :3]
-    )
+        )
+    sky_rgb = gamma_correct(tap[..., :3])
     color = jnp.where(sky_mask[..., None], sky_rgb, color)
     depth = jnp.where(sky_mask, sky_depth, depth)
     return color, depth
@@ -940,13 +993,16 @@ def render_rows(
                 [jnp.broadcast_to(xx, (height, width)),
                  jnp.broadcast_to(yy, (height, width))], -1,
             )
-            bg_rgb = gamma_correct(
-                sample_base(
+            bg_mask = (depth >= 1.0) & show_env
+            if _tap_uses_window(scene.bg_planes, config.background_size):
+                tap, _bovf = sample_base_window(
+                    scene.bg_planes, uv, bg_mask, config.background_size)
+            else:
+                tap = sample_base(
                     scene.bg_tex, jnp.zeros((height, width), jnp.int32),
                     uv, config.background_size, quad=True,
-                )[..., :3]
-            )
-            bg_mask = (depth >= 1.0) & show_env
+                )
+            bg_rgb = gamma_correct(tap[..., :3])
             color = jnp.where(bg_mask[..., None], bg_rgb, color)
 
     aux = {

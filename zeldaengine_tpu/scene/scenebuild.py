@@ -231,6 +231,12 @@ class GpuScene(NamedTuple):
     # config.env_merge is off). Row offsets live in SceneMeta.env_shapes.
     env_table: Optional[jnp.ndarray] = None  # (R, 208) bf16
 
+    # Raw sky/background image planes for the windowed VMEM tap
+    # (ops/window_tap.py): (4, S, S) f32 holding the same bf16-rounded
+    # values the quad atlases store. None disables the kernel path.
+    sky_planes: Optional[jnp.ndarray] = None
+    bg_planes: Optional[jnp.ndarray] = None
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneMeta:
@@ -610,6 +616,12 @@ class SceneBuilder:
             build_quad_packed_atlas_device as _bma,
         )
 
+        def _planes_f32(images, out_dtype=jnp.float32):
+            # (1, S, S, C) -> (C, S, S) f32 with the quad atlas's bf16
+            # rounding, for the windowed VMEM sky/bg tap.
+            img = jnp.asarray(images[0]).astype(jnp.bfloat16)
+            return jnp.moveaxis(img.astype(out_dtype), -1, 0)
+
         # Device-resident atlas cache: packing (the 13-group mip-pair
         # expansion is seconds of NumPy at 256^2) and the device upload
         # (~90 MB of atlases; the tunnel moves ~100 MB/s) dominate
@@ -667,6 +679,12 @@ class SceneBuilder:
         tri_meshlet_arr = np.full(t_cap, -1, np.int32)
         tri_meshlet_arr[:n_tris] = tri_msh
 
+        # Quad-packed cube rows. A mip-pair layout (ONE 52-ch gather for
+        # the whole trilinear tap) was tried in round 3 on the strength
+        # of the gather curve (cost per op, flat to ~104 ch) and measured
+        # +21 ms/frame: the curve was taken on a 27 MB table, and the
+        # 13x-expanded 163 MB pair cube leaves the regime it was
+        # measured in. Table SIZE matters even when row count doesn't.
         cube_atlas = cached_atlas("cube", self.cube_faces, _bma)
         sky_tex = cached_atlas("sky", self.sky_image[None], _bma)
         bg_tex = cached_atlas("bg", self.bg_image[None], _bma)
@@ -716,6 +734,10 @@ class SceneBuilder:
             meshlet_records=jnp.asarray(meshlet_records),
             tri_meshlet=jnp.asarray(tri_meshlet_arr),
             env_table=env_table,
+            sky_planes=cached_atlas("sky_pl", self.sky_image[None],
+                                    _planes_f32, dtype=jnp.float32),
+            bg_planes=cached_atlas("bg_pl", self.bg_image[None],
+                                   _planes_f32, dtype=jnp.float32),
         )
         meta = SceneMeta(
             enable_skydome=self.enable_skydome,
