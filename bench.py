@@ -271,7 +271,14 @@ def main() -> None:
         return
 
     else:  # config 3, headline
-        config = EngineConfig(width=1920, height=1080)
+        # Round-3 tuned bundle (hardware A/B ledger, BASELINE.md): tall
+        # narrow raster tiles (demo grass is vertical slivers — 64x32
+        # quarters the dense pixels-x-pairs product), merged env tap,
+        # live-pair caps sized to the demo's worst frame.
+        config = EngineConfig(width=1920, height=1080,
+                              tile_h=64, tile_w=32, env_merge=True,
+                              max_pairs=384 * 1024,
+                              max_pairs_shadow=256 * 1024)
         t0 = time.time()
         scene, meta, world = build_demo_scene(config, grass=args.grass,
                                               rocks=args.rocks)

@@ -117,3 +117,24 @@ def test_fused_attrs_match_gather_path(fused_setup):
     # (the jnp path zeroes bary weights; the fused kernel never
     # accumulates a record for them).
     assert np.all(np.asarray(attrs_f.world_pos)[~cov] == 0.0)
+
+
+@pytest.mark.parametrize("tile_h,tile_w", [(8, 64), (16, 32)])
+def test_fused_narrow_tiles_match(fused_setup, tile_h, tile_w):
+    """Narrow/tall raster tile shapes (tile_w < 128) must reproduce the
+    128-wide result exactly — the phase-2 record fetch pads its lane
+    index block to the full 128-lane slice vreg and slices back."""
+    cfg, scene, setup, world, n_world = fused_setup
+    depth_r, tid_r, planes_r = _fused_run(cfg, scene, setup, world,
+                                          n_world)
+    cfg_n = cfg.replace(tile_h=tile_h, tile_w=tile_w)
+    depth_n, tid_n, planes_n = _fused_run(cfg_n, scene, setup, world,
+                                          n_world)
+    np.testing.assert_allclose(np.asarray(depth_n), np.asarray(depth_r),
+                               atol=5e-5)
+    same = np.asarray(tid_n) == np.asarray(tid_r)
+    assert same.mean() > 0.999  # ties may bin differently at tile seams
+    cov = np.asarray(planes_r[0]) > 0.5
+    np.testing.assert_allclose(
+        np.asarray(planes_n[2:4])[:, cov & same],
+        np.asarray(planes_r[2:4])[:, cov & same], atol=2e-4, rtol=2e-4)

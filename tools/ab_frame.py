@@ -122,6 +122,39 @@ VARIANTS = {
     "vm_all": {"raster": "fused", "pcf_backend": "vmem",
                "_adaptive_caps": True, "env_merge": True,
                "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024},
+    # Raster tile-SHAPE sweep under vm_all: demo grass is vertical
+    # slivers, so narrow/tall tiles cut the dense pixels-x-pairs product
+    # (each pair evaluates the whole tile).
+    "vm_tw64": {"raster": "fused", "pcf_backend": "vmem",
+                "_adaptive_caps": True, "env_merge": True,
+                "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+                "tile_w": 64},
+    "vm_tw32": {"raster": "fused", "pcf_backend": "vmem",
+                "_adaptive_caps": True, "env_merge": True,
+                "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+                "tile_w": 32},
+    "vm_t64x32": {"raster": "fused", "pcf_backend": "vmem",
+                  "_adaptive_caps": True, "env_merge": True,
+                  "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+                  "tile_h": 64, "tile_w": 32},
+    "vm_t16x64": {"raster": "fused", "pcf_backend": "vmem",
+                  "_adaptive_caps": True, "env_merge": True,
+                  "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+                  "tile_h": 16, "tile_w": 64},
+    "vm_t64x64": {"raster": "fused", "pcf_backend": "vmem",
+                  "_adaptive_caps": True, "env_merge": True,
+                  "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+                  "tile_h": 64, "tile_w": 64},
+    "vm_t128x32": {"raster": "fused", "pcf_backend": "vmem",
+                   "_adaptive_caps": True, "env_merge": True,
+                   "max_pairs": 384 * 1024,
+                   "max_pairs_shadow": 256 * 1024,
+                   "tile_h": 128, "tile_w": 32},
+    "vm_t64x32_sr16": {"raster": "fused", "pcf_backend": "vmem",
+                       "_adaptive_caps": True, "env_merge": True,
+                       "max_pairs": 384 * 1024,
+                       "max_pairs_shadow": 256 * 1024,
+                       "tile_h": 64, "tile_w": 32, "sub_rows": 16},
     # Post-vmem attribution: split the lighting ablation into its
     # direct-loop and IBL-reflection (cubemap gather) halves.
     "vm_norefl": {"raster": "fused", "pcf_backend": "vmem",

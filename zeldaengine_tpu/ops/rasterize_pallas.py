@@ -90,6 +90,15 @@ def _super_h(tile_h: int) -> int:
     return max(1, 64 // tile_h)
 
 
+def _super_w(tile_w: int) -> int:
+    """Supertile width in tiles: fixed 512-px footprint (4 at tile_w=128).
+
+    Narrow raster tiles (tile_w < 128, walked as column sub-tiles of a
+    128-wide Pallas block) scale the tile count up; keeping the supertile
+    PIXEL footprint constant keeps the global bucket's fan-out constant."""
+    return max(1, (SUPER_W * 128) // max(tile_w, 1))
+
+
 def compact_setup(
     setup: TriangleSetup,
     cap: int,
@@ -217,13 +226,14 @@ def build_pairs(
     ncov = jnp.where(live, nx * ny, 0.0)
 
     # Supertile ranges (two-level binning; see SUPER_* above).
-    n_sx = -(-n_tx // SUPER_W)
+    super_w = _super_w(tile_w)
+    n_sx = -(-n_tx // super_w)
     super_h = _super_h(tile_h)
     n_sy = -(-n_ty // super_h)
     n_super = n_sy * n_sx
-    sx0 = jnp.floor(tx0 / SUPER_W)
+    sx0 = jnp.floor(tx0 / super_w)
     sy0 = jnp.floor(ty0 / super_h)
-    sx1 = jnp.floor(tx1 / SUPER_W)
+    sx1 = jnp.floor(tx1 / super_w)
     sy1 = jnp.floor(ty1 / super_h)
     snx = sx1 - sx0 + 1.0
     ncov_s = jnp.where(live, snx * (sy1 - sy0 + 1.0), 0.0)
@@ -331,11 +341,72 @@ def count_oversized(setup: TriangleSetup, width: int, height: int,
     return jnp.sum(live & (ncov > expand)).astype(jnp.int32)
 
 
-def _acc_shape(tile_h: int, tile_w: int, sub_rows: int, winner: str):
+def _pack_rows(tile_h: int, tile_w: int, sub_rows: int):
+    """Packed-block geometry for narrow tiles: each (jc, sb) sub-block's
+    ``p_sub = sub_rows * tile_w`` linear pixels occupy ``pr = p_sub/128``
+    native 128-lane rows of the (tile_h, 128) Pallas block, at row
+    ``jc * n_sub * pr + sb * pr``. For tile_w == 128 this is exactly the
+    screen layout (identity)."""
+    return (sub_rows * tile_w) // 128
+
+
+def pack_block_layout(x, tile_h: int, tile_w: int, sub_rows: int):
+    """Screen layout -> the kernel's packed block layout (XLA-side; a
+    reshape/transpose pair, identity when tile_w == 128). Operates on
+    the last two dims of ``x`` (multiples of tile_h / 128).
+
+    Packed position of screen pixel (sb*sub_rows + r, jc*tile_w + c)
+    within its (tile_h, 128) block: row ``jc*n_sub*pr + sb*pr + p//128``,
+    lane ``p % 128`` with ``p = r*tile_w + c`` — every sub-block's
+    pixels as native full-lane rows, so the kernel never reshapes
+    narrow (sub_rows, tile_w) vectors (Mosaic cannot lower those)."""
+    cols = 128 // tile_w
+    if cols == 1:
+        return x
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    n_sub = tile_h // sub_rows
+    k = len(lead)
+    y = x.reshape(lead + (h // tile_h, n_sub, sub_rows,
+                          w // 128, cols, tile_w))
+    # (ty, sb, r, txb, jc, c) -> (ty, txb, jc, sb, r, c)
+    y = y.transpose(tuple(range(k))
+                    + (k, k + 3, k + 4, k + 1, k + 2, k + 5))
+    y = y.reshape(lead + (h // tile_h, w // 128, tile_h, 128))
+    # (ty, txb, row_p, lane) -> (ty, row_p, txb, lane)
+    y = y.transpose(tuple(range(k)) + (k, k + 2, k + 1, k + 3))
+    return y.reshape(lead + (h, w))
+
+
+def unpack_block_layout(x, tile_h: int, tile_w: int, sub_rows: int):
+    """Packed block layout -> screen layout (inverse of
+    pack_block_layout; identity when tile_w == 128)."""
+    cols = 128 // tile_w
+    if cols == 1:
+        return x
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    n_sub = tile_h // sub_rows
+    k = len(lead)
+    y = x.reshape(lead + (h // tile_h, tile_h, w // 128, 128))
+    y = y.transpose(tuple(range(k)) + (k, k + 2, k + 1, k + 3))
+    y = y.reshape(lead + (h // tile_h, w // 128, cols, n_sub, sub_rows,
+                          tile_w))
+    # (ty, txb, jc, sb, r, c) -> (ty, sb, r, txb, jc, c)
+    y = y.transpose(tuple(range(k))
+                    + (k, k + 3, k + 4, k + 1, k + 2, k + 5))
+    return y.reshape(lead + (h, w))
+
+
+def _acc_shape(tile_h: int, tile_w: int, sub_rows: int, winner: str,
+               cols: int = 1):
     """VMEM accumulator shape: per-sub-block lane-major vectors for the
-    reducing walks, full (p_sub, 128) candidate planes for accwide."""
+    reducing walks; for accwide, GROUP planes of >= 1024 pixel rows
+    (see _run_raster_walk_accwide — total bytes are tile_h*128*128*4
+    regardless of the tile shape)."""
     if winner == "accwide":
-        return (tile_h // sub_rows, sub_rows * tile_w, 128)
+        plane = max(1024, sub_rows * tile_w)
+        return ((tile_h * 128) // plane, plane, 128)
     return (tile_h // sub_rows, sub_rows * tile_w)
 
 
@@ -351,9 +422,11 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
 
     def walk(ranges, body, init_carry=0):
         """``ranges``: static-length list of (lo, hi) pair-index ranges
-        (a tile's dense range, its supertile range, the global bucket)
-        walked as ONE fori_loop so the DMA pipeline never drains between
-        them. ``body(slot, c_base, lo, hi, carry) -> carry``; boundary
+        (a tile's dense range — or several column sub-tiles' ranges —
+        its supertile range, the global bucket) walked as ONE fori_loop
+        so the DMA pipeline never drains between them. ``body(slot,
+        c_base, lo, hi, ridx, carry) -> carry`` where ``ridx`` is the
+        (traced) index of the range the slice belongs to; boundary
         slices are shared with neighbor ranges/tiles, so the body must
         mask lanes outside [lo, hi). Returns the final carry."""
         s0s, cnts = [], []
@@ -402,7 +475,8 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
             c_base = slice_of(j) * 128
             lo = pick(j, [r[0] for r in ranges])
             hi = pick(j, [r[1] for r in ranges])
-            return body(slot, c_base, lo, hi, carry)
+            ridx = pick(j, [jnp.int32(r) for r in range(len(ranges))])
+            return body(slot, c_base, lo, hi, ridx, carry)
 
         return jax.lax.fori_loop(0, n, slice_body, init_carry)
 
@@ -431,20 +505,29 @@ def _pair_kernel(
     sub_rows: int,
     depth_only: bool,
     winner: str,
+    cols: int = 1,
 ):
     t = pl.program_id(0)
 
-    ty = t // n_tx
-    tx = t % n_tx
-    base_x = (tx * tile_w).astype(jnp.int32)
+    # Grid is over 128-px-wide BLOCKS; ``cols`` column sub-tiles of
+    # tile_w px share one block (cols == 1 when tile_w == 128). Pair
+    # binning (starts/ends, supertiles) is in narrow-tile units.
+    n_txb = n_tx // cols
+    ty = t // n_txb
+    txb = t % n_txb
+    base_x = (txb * cols * tile_w).astype(jnp.int32)
     base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
-    n_sx = -(-n_tx // SUPER_W)
-    st = (ty // _super_h(tile_h)) * n_sx + (tx // SUPER_W)
+    super_w = _super_w(tile_w)
+    n_sx = -(-n_tx // super_w)
+    st = (ty // _super_h(tile_h)) * n_sx + (txb * cols // super_w)
 
     n_slots = 4  # DMA pipeline depth (hides HBM latency across slices)
     walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
     ranges = [
-        (starts_ref[t], ends_ref[t]),
+        (starts_ref[ty * n_tx + txb * cols + jc],
+         ends_ref[ty * n_tx + txb * cols + jc])
+        for jc in range(cols)
+    ] + [
         (sstarts_ref[st], sends_ref[st]),
         (gbounds_ref[0], gbounds_ref[1]),
     ]
@@ -452,13 +535,15 @@ def _pair_kernel(
         walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x, base_y,
         ranges, acc_d_ref, acc_t_ref, tile_h=tile_h, tile_w=tile_w,
         sub_rows=sub_rows, depth_only=depth_only, winner=winner,
+        cols=cols,
     )
 
 
 def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
                              tid_ref, base_x, base_y, ranges, acc_d_ref,
                              acc_t_ref, *, tile_h: int, tile_w: int,
-                             sub_rows: int, depth_only: bool):
+                             sub_rows: int, depth_only: bool,
+                             cols: int = 1):
     """Full-width accumulator walk: per-visit state is the whole
     (p_sub, 128) candidate plane — ``acc_d = min(acc_d, cand)`` (+ a
     compare-select pid plane when tracking winners) — and the cross-LANE
@@ -475,23 +560,47 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
     Winner semantics are identical to ``argmin2``: the winning pair is
     the LOWEST pair id among the minimum-depth candidates (per lane the
     strict ``<`` keeps the earliest visit; the epilogue takes the min
-    pid across tied lanes), and init_depth wins ties (tid -1)."""
+    pid across tied lanes), and init_depth wins ties (tid -1).
+
+    ``cols > 1`` walks the 128-wide Pallas block as ``cols`` column
+    sub-tiles of ``tile_w`` px: ranges[0..cols-1] are the sub-tiles'
+    dense pair ranges and each of their slices is evaluated ONLY against
+    its own (p_sub, 128) pixel block (a quarter of the dense product at
+    tile_w=32 — demo grass is vertical slivers, so a pair's bbox rarely
+    needs the full 128-px width); the trailing supertile/global ranges
+    are evaluated against every column."""
     n_sub = tile_h // sub_rows
     p_sub = sub_rows * tile_w
+    pr = p_sub // 128  # packed 128-lane rows per sub-block
+    # Accumulator planes GROUP sub-blocks to >= 1024 pixel rows so every
+    # epilogue reshape is (8k, 128) <-> (1024k,) — Mosaic cannot lower
+    # narrower ones. A sub-block's slice within its plane is rows
+    # [(rb % gr) * 128, + p_sub) with rb its packed row index.
+    plane = max(1024, p_sub)
+    gr = plane // 128  # packed rows per plane (>= 8)
     lane_f = jax.lax.broadcasted_iota(
         jnp.int32, (1, 128), 1
     ).astype(jnp.float32)
     lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
-    px = (base_x + jnp.mod(lin, tile_w)).astype(jnp.float32) + 0.5
+    colx = jnp.mod(lin, tile_w)
+    pxs = [
+        (base_x + jc * tile_w + colx).astype(jnp.float32) + 0.5
+        for jc in range(cols)
+    ]
     py0 = (base_y + lin // tile_w).astype(jnp.float32) + 0.5
     pys = [py0 + float(sb * sub_rows) for sb in range(n_sub)]
 
-    for sb in range(n_sub):
-        acc_d_ref[sb] = jnp.full((p_sub, 128), NO_HIT, jnp.float32)
+    n_groups = (tile_h * 128) // plane
+    for g in range(n_groups):
+        acc_d_ref[g] = jnp.full((plane, 128), NO_HIT, jnp.float32)
         if not depth_only:
-            acc_t_ref[sb] = jnp.full((p_sub, 128), -1.0, jnp.float32)
+            acc_t_ref[g] = jnp.full((plane, 128), -1.0, jnp.float32)
 
-    def raster_body(slot, c_base, lo, hi, carry):
+    def acc_slot(jc, sb):
+        rb = (jc * n_sub + sb) * pr
+        return rb // gr, (rb % gr) * 128
+
+    def raster_body(slot, c_base, lo, hi, ridx, carry):
         lane_ok = (
             (lane_f >= (lo - c_base).astype(jnp.float32))
             & (lane_f < (hi - c_base).astype(jnp.float32))
@@ -499,63 +608,84 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
         if not depth_only:
             pid_f = c_base.astype(jnp.float32) + lane_f
 
-        for sb in range(n_sub):
-            py = pys[sb]
+        def col_work(jc):
+            px = pxs[jc]
+            for sb in range(n_sub):
+                py = pys[sb]
 
-            def form(r):
-                return (
-                    px * scratch_ref[slot, r : r + 1, :]
-                    + py * scratch_ref[slot, r + 1 : r + 2, :]
-                    + scratch_ref[slot, r + 2 : r + 3, :]
-                )  # (p_sub, 128)
+                def form(r):
+                    return (
+                        px * scratch_ref[slot, r : r + 1, :]
+                        + py * scratch_ref[slot, r + 1 : r + 2, :]
+                        + scratch_ref[slot, r + 2 : r + 3, :]
+                    )  # (p_sub, 128)
 
-            e0 = form(0)
-            e1 = form(3)
-            e2 = form(6)
-            d = (
-                e0 * scratch_ref[slot, 9:10, :]
-                + e1 * scratch_ref[slot, 10:11, :]
-                + e2 * scratch_ref[slot, 11:12, :]
-            )
-            esum = e0 + e1 + e2
-            emin = jnp.minimum(jnp.minimum(e0, e1), e2)
-            inside = (
-                (emin >= 0.0) & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
-            ) & lane_ok
-            cand = jnp.where(inside, d, NO_HIT)
-            if depth_only:
-                acc_d_ref[sb] = jnp.minimum(cand, acc_d_ref[sb])
-            else:
-                cur = acc_d_ref[sb]
-                take = cand < cur
-                acc_d_ref[sb] = jnp.where(take, cand, cur)
-                acc_t_ref[sb] = jnp.where(take, pid_f, acc_t_ref[sb])
+                e0 = form(0)
+                e1 = form(3)
+                e2 = form(6)
+                d = (
+                    e0 * scratch_ref[slot, 9:10, :]
+                    + e1 * scratch_ref[slot, 10:11, :]
+                    + e2 * scratch_ref[slot, 11:12, :]
+                )
+                esum = e0 + e1 + e2
+                emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+                inside = (
+                    (emin >= 0.0) & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+                ) & lane_ok
+                cand = jnp.where(inside, d, NO_HIT)
+                g, o = acc_slot(jc, sb)
+                if depth_only:
+                    acc_d_ref[g, pl.ds(o, p_sub)] = jnp.minimum(
+                        cand, acc_d_ref[g, pl.ds(o, p_sub)]
+                    )
+                else:
+                    cur = acc_d_ref[g, pl.ds(o, p_sub)]
+                    take = cand < cur
+                    acc_d_ref[g, pl.ds(o, p_sub)] = jnp.where(
+                        take, cand, cur
+                    )
+                    acc_t_ref[g, pl.ds(o, p_sub)] = jnp.where(
+                        take, pid_f, acc_t_ref[g, pl.ds(o, p_sub)]
+                    )
+
+        if cols == 1:
+            col_work(0)
+        else:
+            for jc in range(cols):
+                @pl.when((ridx == jc) | (ridx >= cols))
+                def _(jc=jc):
+                    col_work(jc)
         return carry
 
     walk(ranges, raster_body)
 
-    for sb in range(n_sub):
-        a = acc_d_ref[sb]
-        lane_min = jnp.min(a, axis=1)  # (p_sub,)
-        init = init_ref[pl.ds(sb * sub_rows, sub_rows), :].reshape(p_sub)
+    # Epilogue per GROUP plane, in the PACKED block layout
+    # (pack_block_layout; identity at tile_w == 128 — then gr ==
+    # sub_rows and group == sub-block, exactly the pre-narrow code).
+    for g in range(n_groups):
+        a = acc_d_ref[g]
+        lane_min = jnp.min(a, axis=1)  # (plane,)
+        init = init_ref[pl.ds(g * gr, gr), :].reshape(plane)
         win = lane_min < init  # init_depth wins ties (tid stays -1)
-        depth_ref[pl.ds(sb * sub_rows, sub_rows), :] = jnp.where(
+        depth_ref[pl.ds(g * gr, gr), :] = jnp.where(
             win, lane_min, init
-        ).reshape(sub_rows, tile_w)
+        ).reshape(gr, 128)
         if not depth_only:
             pid_min = jnp.min(
-                jnp.where(a == lane_min[:, None], acc_t_ref[sb], NO_HIT),
+                jnp.where(a == lane_min[:, None], acc_t_ref[g], NO_HIT),
                 axis=1,
             )
-            tid_ref[pl.ds(sb * sub_rows, sub_rows), :] = jnp.where(
+            tid_ref[pl.ds(g * gr, gr), :] = jnp.where(
                 win, pid_min, -1.0
-            ).astype(jnp.int32).reshape(sub_rows, tile_w)
+            ).astype(jnp.int32).reshape(gr, 128)
 
 
 def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
                      base_x, base_y, ranges, acc_d_ref, acc_t_ref, *,
                      tile_h: int, tile_w: int, sub_rows: int,
-                     depth_only: bool, winner: str = "accwide"):
+                     depth_only: bool, winner: str = "accwide",
+                     cols: int = 1):
     """Phase-1 visibility walk (z-test + winner tracking), shared by the
     plain pair kernel and the fused kernel.
 
@@ -577,7 +707,9 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x,
             base_y, ranges, acc_d_ref, acc_t_ref, tile_h=tile_h,
             tile_w=tile_w, sub_rows=sub_rows, depth_only=depth_only,
+            cols=cols,
         )
+    assert cols == 1, "column sub-tiles require winner='accwide'"
     n_sub = tile_h // sub_rows
     p_sub = sub_rows * tile_w
     lane_f = jax.lax.broadcasted_iota(
@@ -596,7 +728,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             # hit the slow VPU path.
             acc_t_ref[sb, :] = jnp.full((p_sub,), -1.0, jnp.float32)
 
-    def raster_body(slot, c_base, lo, hi, carry):
+    def raster_body(slot, c_base, lo, hi, ridx, carry):
         # Boundary slices are shared with neighbor tiles: mask lanes
         # whose pair index falls outside the walked range.
         lane_ok = (
@@ -737,15 +869,25 @@ def rasterize_pairs(
     winner PAIR indices instead (skips the (H*W)-index gather through
     ``pair_tri`` — for probes and callers that consume pair ids).
     """
+    assert 128 % tile_w == 0, "tile_w must divide 128"
+    cols = 128 // tile_w  # column sub-tiles per 128-px Pallas block
     n_tx = width // tile_w
     n_ty = height // tile_h
     n_tiles = n_ty * n_tx
+    n_txb = n_tx // cols
+    n_blocks = n_ty * n_txb
     assert pairs.starts.shape == (n_tiles,), (
         pairs.starts.shape, n_tiles)
     sub_rows = min(sub_rows, tile_h)
+    if cols > 1:
+        assert winner == "accwide", \
+            "narrow tiles require winner='accwide'"
 
     if init_depth is None:
         init_depth = jnp.ones((height, width), jnp.float32)
+    else:
+        init_depth = pack_block_layout(init_depth, tile_h, tile_w,
+                                       sub_rows)
 
     kernel = functools.partial(
         _pair_kernel,
@@ -755,28 +897,29 @@ def rasterize_pairs(
         sub_rows=sub_rows,
         depth_only=depth_only,
         winner=winner,
+        cols=cols,
     )
 
     def tile_index(t, *prefetch):
-        return (t // n_tx, t % n_tx)
+        return (t // n_txb, t % n_txb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(n_tiles,),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((tile_h, tile_w), tile_index),
+            pl.BlockSpec((tile_h, 128), tile_index),
         ],
         out_specs=(
-            pl.BlockSpec((tile_h, tile_w), tile_index),
-            pl.BlockSpec((tile_h, tile_w), tile_index),
+            pl.BlockSpec((tile_h, 128), tile_index),
+            pl.BlockSpec((tile_h, 128), tile_index),
         ),
         scratch_shapes=[
             pltpu.VMEM((4, pairs.records.shape[1], 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner),
+            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols),
                        jnp.float32),
-            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner)
+            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols)
                        if not depth_only else (1, 8, 128),
                        jnp.float32),
         ],
@@ -796,8 +939,10 @@ def rasterize_pairs(
         ),
     )(y0_arr, pairs.starts, pairs.ends, pairs.sstarts, pairs.sends,
       pairs.gbounds, pairs.records, init_depth)
+    depth = unpack_block_layout(depth, tile_h, tile_w, sub_rows)
     if depth_only:
         return depth
+    tid_pair = unpack_block_layout(tid_pair, tile_h, tile_w, sub_rows)
     if not map_tid:
         return depth, tid_pair
     tid = jnp.where(
@@ -846,6 +991,7 @@ def _pair_fused_kernel(
     sub_rows: int,
     texture_size: int,
     winner: str,
+    cols: int = 1,
 ):
     """Phase 1: exact-pair visibility raster (identical to _pair_kernel).
     Phase 2: re-walk ONLY the slices containing winners (per-range
@@ -856,28 +1002,40 @@ def _pair_fused_kernel(
     interpolate attributes + analytic screen derivatives per tile in
     native (tile_h, 128) plane layout — no (H, W, 64) record gather, no
     XLA-side interpolation pass, no extra HBM round trip.
+
+    With ``cols > 1`` (narrow raster tiles) phase 1 walks the block's
+    ``cols`` column sub-tiles' dense ranges; phase 2 is column-agnostic
+    (a winner pair id identifies its slice regardless of which column it
+    won) and only its shrink windows go per-range.
     """
     t = pl.program_id(0)
 
-    ty = t // n_tx
-    tx = t % n_tx
-    base_x = (tx * tile_w).astype(jnp.int32)
+    n_txb = n_tx // cols
+    ty = t // n_txb
+    txb = t % n_txb
+    base_x = (txb * cols * tile_w).astype(jnp.int32)
     base_y = ((ty + y0_ref[0]) * tile_h).astype(jnp.int32)
-    n_sx = -(-n_tx // SUPER_W)
-    st = (ty // _super_h(tile_h)) * n_sx + (tx // SUPER_W)
+    super_w = _super_w(tile_w)
+    n_sx = -(-n_tx // super_w)
+    st = (ty // _super_h(tile_h)) * n_sx + (txb * cols // super_w)
 
     n_slots = 4
     walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
 
+    dense = [
+        (starts_ref[ty * n_tx + txb * cols + jc],
+         ends_ref[ty * n_tx + txb * cols + jc])
+        for jc in range(cols)
+    ]
+
     # ---- phase 1: visibility
     _run_raster_walk(
         walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x, base_y,
-        [(starts_ref[t], ends_ref[t]),
-         (sstarts_ref[st], sends_ref[st]),
-         (gbounds_ref[0], gbounds_ref[1])],
+        dense + [(sstarts_ref[st], sends_ref[st]),
+                 (gbounds_ref[0], gbounds_ref[1])],
         acc_d_ref, acc_t_ref,
         tile_h=tile_h, tile_w=tile_w, sub_rows=sub_rows, depth_only=False,
-        winner=winner,
+        winner=winner, cols=cols,
     )
 
     # ---- phase 2: winner-record fetch
@@ -895,19 +1053,18 @@ def _pair_fused_kernel(
         hi2 = jnp.minimum(hi, ((smax + 1.0) * 128.0).astype(jnp.int32))
         return lo2, hi2
 
-    ranges2 = [
-        shrink(starts_ref[t], ends_ref[t]),
+    ranges2 = [shrink(lo, hi) for lo, hi in dense] + [
         shrink(sstarts_ref[st], sends_ref[st]),
         shrink(gbounds_ref[0], gbounds_ref[1]),
     ]
 
-    def attr_body(slot, c_base, lo, hi, carry):
+    def attr_body(slot, c_base, lo, hi, ridx, carry):
         rel = w - c_base
         hit = (w >= lo) & (w < hi) & (rel >= 0) & (rel < 128)
         relc = jnp.clip(rel, 0, 127)
         for c in _FETCH_ROWS:
             row = jnp.broadcast_to(
-                scratch_ref[slot, c : c + 1, :], (tile_h, tile_w)
+                scratch_ref[slot, c : c + 1, :], (tile_h, 128)
             )
             g = jnp.take_along_axis(row, relc, axis=1)
             acc_ref[c] = jnp.where(hit, g, acc_ref[c])
@@ -915,9 +1072,21 @@ def _pair_fused_kernel(
 
     walk(ranges2, attr_body)
 
-    # ---- interpolation + analytic derivatives (plane layout)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-    yi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    # ---- interpolation + analytic derivatives (plane layout, full
+    # 128-px block width — winner-based, column-agnostic). Pixel coords
+    # follow the PACKED block layout (pack_block_layout; identity when
+    # tile_w == 128): row_p = jc*n_sub*pr + sb*pr + p//128, lane = p%128
+    # with p the linear pixel of sub-block (jc, sb).
+    n_sub = tile_h // sub_rows
+    pr = (sub_rows * tile_w) // 128
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 128), 1)
+    jc_i = rowi // (n_sub * pr)
+    rem = rowi - jc_i * (n_sub * pr)
+    sb_i = rem // pr
+    p_lin = (rem - sb_i * pr) * 128 + lane
+    xi = jc_i * tile_w + jnp.mod(p_lin, tile_w)
+    yi = sb_i * sub_rows + p_lin // tile_w
     px = (base_x + xi).astype(jnp.float32) + 0.5
     py = (base_y + yi).astype(jnp.float32) + 0.5
 
@@ -1009,17 +1178,27 @@ def rasterize_pairs_fused(
     Returns (depth, tid, attrs) with tid = ORIGINAL triangle ids and
     attrs = (ATTR_CH, height, width) float32 planes (layout above).
     """
-    assert tile_w == 128, "fused kernel requires tile_w == 128 (lane LUT)"
+    assert 128 % tile_w == 0, \
+        "fused kernel tile_w must divide 128 (lane-gather source vreg)"
+    cols = 128 // tile_w  # column sub-tiles per 128-px Pallas block
     n_tx = width // tile_w
     n_ty = height // tile_h
     n_tiles = n_ty * n_tx
+    n_txb = n_tx // cols
+    n_blocks = n_ty * n_txb
     assert pairs.starts.shape == (n_tiles,)
     rec_rows = pairs.records.shape[1]
     assert rec_rows >= 46, "fused kernel needs wide records (extra=34)"
     sub_rows = min(sub_rows, tile_h)
+    if cols > 1:
+        assert winner == "accwide", \
+            "narrow tiles require winner='accwide'"
 
     if init_depth is None:
         init_depth = jnp.ones((height, width), jnp.float32)
+    else:
+        init_depth = pack_block_layout(init_depth, tile_h, tile_w,
+                                       sub_rows)
 
     kernel = functools.partial(
         _pair_fused_kernel,
@@ -1029,33 +1208,34 @@ def rasterize_pairs_fused(
         sub_rows=sub_rows,
         texture_size=texture_size,
         winner=winner,
+        cols=cols,
     )
 
     def tile_index(t, *prefetch):
-        return (t // n_tx, t % n_tx)
+        return (t // n_txb, t % n_txb)
 
     def attr_index(t, *prefetch):
-        return (0, t // n_tx, t % n_tx)
+        return (0, t // n_txb, t % n_txb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(n_tiles,),
+        grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((tile_h, tile_w), tile_index),
+            pl.BlockSpec((tile_h, 128), tile_index),
         ],
         out_specs=(
-            pl.BlockSpec((tile_h, tile_w), tile_index),
-            pl.BlockSpec((tile_h, tile_w), tile_index),
-            pl.BlockSpec((ATTR_CH, tile_h, tile_w), attr_index),
+            pl.BlockSpec((tile_h, 128), tile_index),
+            pl.BlockSpec((tile_h, 128), tile_index),
+            pl.BlockSpec((ATTR_CH, tile_h, 128), attr_index),
         ),
         scratch_shapes=[
             pltpu.VMEM((4, rec_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.VMEM((rec_rows, tile_h, tile_w), jnp.float32),
-            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner),
+            pltpu.VMEM((rec_rows, tile_h, 128), jnp.float32),
+            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols),
                        jnp.float32),
-            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner),
+            pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols),
                        jnp.float32),
         ],
     )
@@ -1075,6 +1255,9 @@ def rasterize_pairs_fused(
         ),
     )(y0_arr, pairs.starts, pairs.ends, pairs.sstarts, pairs.sends,
       pairs.gbounds, pairs.records, init_depth)
+    depth = unpack_block_layout(depth, tile_h, tile_w, sub_rows)
+    tid_pair = unpack_block_layout(tid_pair, tile_h, tile_w, sub_rows)
+    attrs = unpack_block_layout(attrs, tile_h, tile_w, sub_rows)
     tid = jnp.where(
         tid_pair >= 0, pairs.pair_tri[jnp.maximum(tid_pair, 0)], -1
     )

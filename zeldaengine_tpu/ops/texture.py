@@ -437,12 +437,14 @@ def sample_trilinear_pair(atlas13: jnp.ndarray, layer, uv, lod, base: int):
     fv = jnp.clip(v - y0.astype(jnp.float32), 0.0, 1.0)[..., None]
 
     layer = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), x0.shape)
-    row = _gather_texel(
-        atlas13, layer, x0 + offs.astype(jnp.int32), y0
-    ).astype(jnp.float32)  # (..., 13c)
+    # The gathered row stays in the ATLAS dtype (bf16): casting the full
+    # (..., 13c) stack to f32 up front doubles the materialized bytes of
+    # the gather's output (XLA does not sink the convert into the
+    # consumer fusion at this width); per-group casts are exact.
+    row = _gather_texel(atlas13, layer, x0 + offs.astype(jnp.int32), y0)
 
     def grp(i):
-        return row[..., i * c : (i + 1) * c]
+        return row[..., i * c : (i + 1) * c].astype(jnp.float32)
 
     lo_top = grp(0) * (1 - fu) + grp(1) * fu
     lo_bot = grp(2) * (1 - fu) + grp(3) * fu
@@ -539,11 +541,12 @@ def sample_bilinear_level_packed(atlas4: jnp.ndarray, layer, uv, level,
         texel = _quad_gather(atlas4, layer, x0 + ox, y0, c4)  # (..., 4c)
     else:
         texel = _gather_texel(atlas4, layer, x0 + ox, y0)  # (..., 4c)
-    texel = texel.astype(jnp.float32)  # atlases may be stored bf16
-    t00 = texel[..., 0:c]
-    t10 = texel[..., c : 2 * c]
-    t01 = texel[..., 2 * c : 3 * c]
-    t11 = texel[..., 3 * c : 4 * c]
+    # Cast per-slice (not the whole fetched row) — exact, and keeps the
+    # materialized gather output in the atlas dtype (bf16 = half bytes).
+    t00 = texel[..., 0:c].astype(jnp.float32)
+    t10 = texel[..., c : 2 * c].astype(jnp.float32)
+    t01 = texel[..., 2 * c : 3 * c].astype(jnp.float32)
+    t11 = texel[..., 3 * c : 4 * c].astype(jnp.float32)
     top = t00 * (1 - fu) + t10 * fu
     bot = t01 * (1 - fu) + t11 * fu
     return top * (1 - fv) + bot * fv
@@ -633,16 +636,20 @@ def pair_row_context(layer, uv, lod, base: int, quad: bool = False):
 
 def pair_filter_row(row, ctx, c: int):
     """Filter half of ``sample_trilinear_pair``: ``row`` is the fetched
-    (..., 13c) mip-pair texel row."""
-    row = row.astype(jnp.float32)
+    (..., 13c) mip-pair texel row (kept in the atlas dtype — selects do
+    not round, and per-group f32 casts at the lerps are exact while
+    halving the materialized gather output)."""
     fu, fv, fu2, fv2, frac = (ctx["fu"], ctx["fv"], ctx["fu2"],
                               ctx["fv2"], ctx["frac"])
 
     def grp(i):
         return row[..., i * c : (i + 1) * c]
 
-    lo_top = grp(0) * (1 - fu) + grp(1) * fu
-    lo_bot = grp(2) * (1 - fu) + grp(3) * fu
+    def grpf(i):
+        return grp(i).astype(jnp.float32)
+
+    lo_top = grpf(0) * (1 - fu) + grpf(1) * fu
+    lo_bot = grpf(2) * (1 - fu) + grpf(3) * fu
     lo = lo_top * (1 - fv) + lo_bot * fv
 
     r0 = ctx["r"] == 0
@@ -656,10 +663,14 @@ def pair_filter_row(row, ctx, c: int):
 
     a0, b0, c0 = nrow(0)
     a1, b1, c1 = nrow(1)
-    t00h = jnp.where(r0, a0, b0)
-    t10h = jnp.where(r0, b0, c0)
-    t01h = jnp.where(r0, a1, b1)
-    t11h = jnp.where(r0, b1, c1)
+
+    def f32(x):
+        return x.astype(jnp.float32)
+
+    t00h = f32(jnp.where(r0, a0, b0))
+    t10h = f32(jnp.where(r0, b0, c0))
+    t01h = f32(jnp.where(r0, a1, b1))
+    t11h = f32(jnp.where(r0, b1, c1))
     hi_top = t00h * (1 - fu2) + t10h * fu2
     hi_bot = t01h * (1 - fu2) + t11h * fu2
     hi = hi_top * (1 - fv2) + hi_bot * fv2
@@ -693,13 +704,13 @@ def quad_row_context(layer, uv, base: int):
 
 def quad_filter_row(row, ctx, c: int):
     """Filter half of the quad bilinear tap: ``row`` = fetched (..., 4c)
-    2x2-packed group (after quad_select)."""
-    row = row.astype(jnp.float32)
+    2x2-packed group (after quad_select; kept in the atlas dtype —
+    per-slice f32 casts are exact and halve the materialized bytes)."""
     fu, fv = ctx["fu"], ctx["fv"]
-    t00 = row[..., 0:c]
-    t10 = row[..., c : 2 * c]
-    t01 = row[..., 2 * c : 3 * c]
-    t11 = row[..., 3 * c : 4 * c]
+    t00 = row[..., 0:c].astype(jnp.float32)
+    t10 = row[..., c : 2 * c].astype(jnp.float32)
+    t01 = row[..., 2 * c : 3 * c].astype(jnp.float32)
+    t11 = row[..., 3 * c : 4 * c].astype(jnp.float32)
     top = t00 * (1 - fu) + t10 * fu
     bot = t01 * (1 - fu) + t11 * fu
     return top * (1 - fv) + bot * fv

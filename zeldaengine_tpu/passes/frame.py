@@ -68,12 +68,12 @@ def _use_pallas(config: EngineConfig, band: bool, height: int) -> bool:
 
 def _use_fused(config: EngineConfig, band: bool, height: int) -> bool:
     """Fused raster+interpolate kernel (visibility passes that feed
-    surface attributes). Requires tile_w == 128 (the in-kernel record
-    fetch is a 128-lane dynamic gather). The TPU default since round 3
-    (-21 ms vs raster+XLA-gather+interp at the demo scale; equality
-    tests in tests/test_fused.py, hardware goldens in
-    tools/tpu_golden_check.py)."""
-    if config.tile_w != 128:
+    surface attributes). tile_w must divide 128 (the in-kernel record
+    fetch gathers from a 128-lane slice vreg; narrow tiles pad the
+    index block). The TPU default since round 3 (-21 ms vs
+    raster+XLA-gather+interp at the demo scale; equality tests in
+    tests/test_fused.py, hardware goldens in tools/tpu_golden_check.py)."""
+    if 128 % config.tile_w != 0:
         return False
     if not _use_pallas(config, band, height):
         return False
@@ -95,7 +95,7 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
     """
     if _use_pallas(config, band, height):
         ph = _pad_up(height, config.tile_h)
-        pw = _pad_up(width, config.tile_w)
+        pw = _pad_up(width, max(config.tile_w, 128))
         if init_depth is not None and (ph != height or pw != width):
             init_depth = jnp.pad(
                 init_depth, ((0, ph - height), (0, pw - width)),
@@ -154,7 +154,7 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
     """Fused visibility raster + attribute interpolation: returns
     (depth, tid, attr planes (ATTR_CH, H, W))."""
     ph = _pad_up(height, config.tile_h)
-    pw = _pad_up(width, config.tile_w)
+    pw = _pad_up(width, max(config.tile_w, 128))
     if init_depth is not None and (ph != height or pw != width):
         init_depth = jnp.pad(
             init_depth, ((0, ph - height), (0, pw - width)),
@@ -336,7 +336,7 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
 
         h, w = sc.shape[:2]
         ph = _pad_up(h, config.tile_h)
-        pw = _pad_up(w, config.tile_w)
+        pw = _pad_up(w, max(config.tile_w, 128))
         if ph != h or pw != w:
             sc = jnp.pad(sc, ((0, ph - h), (0, pw - w), (0, 0)))
             if valid is not None:

@@ -157,7 +157,16 @@ def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
     """Texture tap + TBN shared by the gather path and the fused-kernel
     path (identical math; the fused kernel only replaces how the
     interpolants were produced)."""
-    if "notex" in config.ablate:  # diagnostic ablation
+    if "lodprobe" in config.ablate:
+        # DIAGNOSTIC: encode the texture-tap inputs in base_color so a
+        # host-side probe (tools/tex_lod_probe.py) can histogram the
+        # real per-pixel lod/combo distribution from a rendered frame.
+        texels = jnp.zeros(uv.shape[:2] + (16,), jnp.float32)
+        texels = texels.at[..., 0].set(lod / 16.0)
+        texels = texels.at[..., 1].set(combo.astype(jnp.float32) / 64.0)
+        texels = texels.at[..., 2].set(covered.astype(jnp.float32))
+        texels = texels.at[..., 10].set(1.0)
+    elif "notex" in config.ablate:  # diagnostic ablation
         texels = jnp.broadcast_to(
             jnp.asarray([0.5] * 3 + [0.5, 0.5, 1.0] + [0.0] * 3
                         + [0.0, 0.8, 1.0, 1.0] + [0.0] * 3, jnp.float32),
