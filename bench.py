@@ -273,10 +273,12 @@ def main() -> None:
     else:  # config 3, headline
         # Round-3 tuned bundle (hardware A/B ledger, BASELINE.md): tall
         # narrow raster tiles (demo grass is vertical slivers — 64x32
-        # quarters the dense pixels-x-pairs product), merged env tap,
-        # live-pair caps sized to the demo's worst frame.
+        # quarters the dense pixels-x-pairs product), low-tier cube
+        # reflection (one 39-ch gather; sky/bg ride the windowed VMEM
+        # taps — beats the merged 208-ch env row by ~8 ms), live-pair
+        # caps sized to the demo's worst frame.
         config = EngineConfig(width=1920, height=1080,
-                              tile_h=64, tile_w=32, env_merge=True,
+                              tile_h=64, tile_w=32,
                               max_pairs=384 * 1024,
                               max_pairs_shadow=256 * 1024)
         t0 = time.time()

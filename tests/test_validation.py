@@ -88,10 +88,25 @@ def test_validation_counts_tile_light_drops():
 
 
 def test_validation_counts_oversized_tris():
-    # pair_expand=1: the ground plane's triangles cover many tiles and
-    # must be counted as global-bucket (oversized) triangles.
+    """The counter reports GLOBAL-bucket triangles: bbox over both the
+    per-tile (pair_expand) and supertile (SUPER_EXPAND) budgets. The
+    128x128 test screen holds only 2 supertiles, so a frame there can
+    never produce one (asserted 0); the positive case uses a synthetic
+    full-screen triangle on a 16-supertile virtual screen."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.rasterize import triangle_setup
+    from zeldaengine_tpu.ops.rasterize_pallas import count_oversized
+
     cfg = TEST_CONFIG.replace(validation=True, pair_expand=1)
     scene, meta = _scene(cfg)
     view = build_view_state(_world(), cfg, light_capacities=(2, 2, 2))
     _, aux = render_frame(scene, view, meta, cfg)
-    assert int(aux["validation"]["oversized_tris"]) > 0
+    assert int(aux["validation"]["oversized_tris"]) == 0
+
+    w, h = 1024, 512  # 8x2 supertiles at tile 8x128 (64x512 px each)
+    clip = jnp.asarray([[[-4.0, -4.0, 0.5, 1.0], [4.0, -4.0, 0.5, 1.0],
+                         [0.0, 8.0, 0.5, 1.0]]], jnp.float32)
+    setup = triangle_setup(clip, w, h, two_sided=True)
+    n = count_oversized(setup, w, h, cfg.tile_h, cfg.tile_w, expand=1)
+    assert int(n) == 1

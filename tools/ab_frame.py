@@ -155,6 +155,67 @@ VARIANTS = {
                        "max_pairs": 384 * 1024,
                        "max_pairs_shadow": 256 * 1024,
                        "tile_h": 64, "tile_w": 32, "sub_rows": 16},
+    # Ablation batch on the round-3g best bundle (bench config 3).
+    **{
+        f"t64_{k}": {
+            "raster": "fused", "pcf_backend": "vmem",
+            "_adaptive_caps": True, "env_merge": True,
+            "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+            "tile_h": 64, "tile_w": 32, **v,
+        }
+        for k, v in {
+            "notex": {"ablate": "notex"},
+            "nolight": {"ablate": "nolight"},
+            "norefl": {"ablate": "norefl"},
+            "nodirect": {"ablate": "nodirect"},
+            "reflgather": {"ablate": "reflgather"},
+            "nopcf": {"ablate": "nopcf"},
+            "nosky": {"ablate": "nosky"},
+            "noswitch": {"ablate": "noswitch"},
+            "noattrs": {"ablate": "noattrs"},
+            "noshadow": {"enable_shadow": False},
+            "bare": {"ablate": "nopcf,nolight,notex,noswitch,nosky",
+                     "enable_shadow": False},
+        }.items()
+    },
+    # env_merge off under the t64 bundle: reflection via the quad cube
+    # (2 x 64ch gathers) + sky/bg via the windowed VMEM taps.
+    "t64_noenv": {"raster": "fused", "pcf_backend": "vmem",
+                  "_adaptive_caps": True,
+                  "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+                  "tile_h": 64, "tile_w": 32},
+    "t64_pair1": {"raster": "fused", "pcf_backend": "vmem",
+                  "_adaptive_caps": True,
+                  "max_pairs": 384 * 1024,
+                  "max_pairs_shadow": 256 * 1024,
+                  "tile_h": 64, "tile_w": 32},
+    "t64_pcfnofix": {"raster": "fused", "pcf_backend": "vmem",
+                     "_adaptive_caps": True,
+                     "max_pairs": 384 * 1024,
+                     "max_pairs_shadow": 256 * 1024,
+                     "tile_h": 64, "tile_w": 32,
+                     "pcf_fallback_cap": 0},
+    # Shadow-pass tile-shape override + pair_expand sweep under t64.
+    "t64_sh32x128": {"raster": "fused", "pcf_backend": "vmem",
+                     "_adaptive_caps": True, "env_merge": True,
+                     "max_pairs": 384 * 1024,
+                     "max_pairs_shadow": 256 * 1024,
+                     "tile_h": 64, "tile_w": 32,
+                     "shadow_tile_h": 32, "shadow_tile_w": 128},
+    "t64_sh64x128": {"raster": "fused", "pcf_backend": "vmem",
+                     "_adaptive_caps": True, "env_merge": True,
+                     "max_pairs": 384 * 1024,
+                     "max_pairs_shadow": 256 * 1024,
+                     "tile_h": 64, "tile_w": 32,
+                     "shadow_tile_h": 64, "shadow_tile_w": 128},
+    "t64_exp4": {"raster": "fused", "pcf_backend": "vmem",
+                 "_adaptive_caps": True, "env_merge": True,
+                 "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+                 "tile_h": 64, "tile_w": 32, "pair_expand": 4},
+    "t64_exp12": {"raster": "fused", "pcf_backend": "vmem",
+                  "_adaptive_caps": True, "env_merge": True,
+                  "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+                  "tile_h": 64, "tile_w": 32, "pair_expand": 12},
     # Post-vmem attribution: split the lighting ablation into its
     # direct-loop and IBL-reflection (cubemap gather) halves.
     "vm_norefl": {"raster": "fused", "pcf_backend": "vmem",

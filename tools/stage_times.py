@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--compact", type=int, default=0,
                     help="compact_tris capacity (0 = off)")
     ap.add_argument("--cap_pairs", type=int, default=0)
+    ap.add_argument("--tile_h", type=int, default=0)
+    ap.add_argument("--tile_w", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -94,10 +96,14 @@ def main():
     if args.cap_pairs:
         config = config.replace(max_pairs=args.cap_pairs,
                                 max_pairs_shadow=args.cap_pairs)
+    if args.tile_h:
+        config = config.replace(tile_h=args.tile_h)
+    if args.tile_w:
+        config = config.replace(tile_w=args.tile_w)
     view = build_view_state(world, config, time=0.0,
                             light_capacities=(8, 16, 8))
     ph = _pad_up(config.height, config.tile_h)
-    pw = _pad_up(config.width, config.tile_w)
+    pw = _pad_up(config.width, max(config.tile_w, 128))
 
     def vertex_setup(scene, view, dt):
         world_p = apply_mat4_point(view.model, scene.pair_pos)

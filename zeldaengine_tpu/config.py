@@ -69,9 +69,15 @@ class EngineConfig:
     cubemap_size: int = 256
     background_size: int = 512
 
-    # Rasterizer tiling (TPU lane-aligned: last dim a multiple of 128).
+    # Rasterizer tiling. tile_w must divide 128 (narrow tiles are walked
+    # as column sub-tiles of a 128-px Pallas block — rasterize_pallas).
     tile_h: int = 32
     tile_w: int = 128
+    # Shadow-pass tile shape override (None = same as tile_h/tile_w):
+    # the light-space geometry distribution differs from screen space,
+    # so the optimal shape can differ (hardware A/B, BASELINE.md).
+    shadow_tile_h: int | None = None
+    shadow_tile_w: int | None = None
     tri_chunk: int = 128
     # Exact-pair binning: triangles whose bbox covers more than this many
     # tiles spill to supertile pairs, then to a global bucket walked by
@@ -111,6 +117,12 @@ class EngineConfig:
     # included — tools/shadow_span_tpu.py); unfit blocks fall back to
     # an exact in-graph compute_pcf recompute.
     pcf_vmem_rows: int = 48
+    # Exactness cap of the vmem backend's unfit-block recompute (a
+    # lax.switch of tiered compute_pcf fixups). 0 skips the switch
+    # entirely: unfit blocks keep the kernel's clamped-window value and
+    # are only counted — control-flow ops are fusion barriers on TPU
+    # even when the taken branch is empty (BASELINE.md round-3h).
+    pcf_fallback_cap: int = 64
 
     # Wireframe debug mode (ENABLE_WIREFRAME, ZeldaEngine.cpp:90 /
     # polygonMode LINE :5108-5110): only pixels within this barycentric
@@ -145,6 +157,13 @@ class EngineConfig:
     # by the skydome (possible only when geometry sits BEYOND the dome
     # radius, which a sane scene never does).
     env_merge: bool = False
+    # Low-tier cubemap reflection: serve lods >= 1 (roughness >= 0.031)
+    # from a half-res RGB mip-pair cube (39-ch rows = the fast gather
+    # tier; ~5 ms vs ~13 for the 208-ch env row at 1080p), with an
+    # exact cond-gated full-res fallback that only executes when some
+    # pixel is shinier. Exact: level k of the half-res chain IS level
+    # k+1 of the full chain.
+    cube_low_tier: bool = True
 
     # Pad light tables to next_pow2(count) instead of the full capacity
     # (the unrolled light loop costs per capacity SLOT; see view.py).

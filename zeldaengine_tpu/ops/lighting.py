@@ -271,7 +271,8 @@ def _point_lighting_tiled(
 
 def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
                      cube_atlas, cubemap_size, sky_max_mips,
-                     specular=0.5, env_fetch=None):
+                     specular=0.5, env_fetch=None, ablate: str = "",
+                     cube_pair1=None):
     """Base.frag:104-112 / BaseLighting.frag:213-221: IBL reflection.
 
     ``env_fetch(refl_dir, mips) -> (..., >=3)`` overrides the cubemap
@@ -283,8 +284,31 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
     mips = pbr.reflection_mip_from_roughness(
         roughness, jnp.asarray(sky_max_mips, jnp.float32)
     )
-    if env_fetch is not None:
+    if ablate and "reflgather" in ablate:
+        # DIAGNOSTIC: constant env radiance (keeps every BRDF/occlusion
+        # op, removes only the cubemap/env-table gather) — splits the
+        # norefl ablation into its gather and math halves.
+        refl_l = jnp.broadcast_to(
+            jnp.asarray([0.3, 0.4, 0.5], jnp.float32), base_color.shape
+        ) + mips[..., None] * 1e-9 + r[..., :3] * 1e-9
+    elif env_fetch is not None:
         refl_l = env_fetch(r, mips)[..., :3] * 10.0
+    elif cube_pair1 is not None:
+        # Low-tier cube (config.cube_low_tier): ONE 39-ch gather into
+        # the half-res RGB mip-pair cube — EXACT whenever lod >= 1
+        # (roughness >= 0.031 under the reference mip formula; level k
+        # of the half-res chain IS cube level k+1, same box-mean chain
+        # + bf16 rounding). The scene build only attaches cube_pair1
+        # when its minimum material roughness guarantees that, so no
+        # runtime fallback exists — a lax.cond fallback measured
+        # +13.6 ms as a fusion barrier even when never executed
+        # (BASELINE.md round-3h). Shinier scenes keep the full-res quad
+        # path below.
+        zero_i = jnp.zeros(roughness.shape, jnp.int32)
+        refl_l = sample_cubemap_lod(
+            cube_pair1, zero_i, r, mips - 1.0, cubemap_size // 2,
+            quad=False,
+        )[..., :3] * 10.0
     else:
         # quad rows (4 x 4ch) need the 4-way select; mip-pair rows (13 x
         # 4ch = 52, 52 % 13 == 0) dispatch to the ONE-gather trilinear —
@@ -302,7 +326,7 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
 def shade_pixels(
     base_color, metallic, roughness, normal, ao, world_pos,
     shadow_factor, view, cube_atlas, cubemap_size, tiled_points=None,
-    env_fetch=None, ablate: str = "",
+    env_fetch=None, ablate: str = "", cube_pair1=None,
 ):
     """Full lighting shared by forward and deferred paths.
 
@@ -344,7 +368,8 @@ def shade_pixels(
         refl = reflection_color(
             base_color, metallic, roughness, n, v, ndotv, ao,
             cube_atlas, cubemap_size, view.lights_count[3],
-            specular=specular, env_fetch=env_fetch,
+            specular=specular, env_fetch=env_fetch, ablate=ablate,
+            cube_pair1=cube_pair1,
         )
     return {
         "direct": direct,

@@ -228,15 +228,20 @@ def compute_pcf_vmem(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
     # Tiered by the actual unfit count: compute_pcf's HLO gathers cost
     # ~4.3 ns/index, so a flat cap-64 fixup would bill ~7 ms to a frame
     # with ONE grazing block. lax.switch executes only the needed tier
-    # (tier 0 = no unfit blocks = free).
-    tiers = [c for c in (4, 16, fallback_cap)
-             if c <= fallback_cap]
-    if tiers[-1] != fallback_cap:
-        tiers.append(fallback_cap)
-    bounds = jnp.asarray([0] + tiers[:-1])
-    tier = jnp.sum(n_unfit > bounds)
-    total = jax.lax.switch(
-        tier, [lambda t: t] + [make_fixup(c) for c in tiers], total)
+    # (tier 0 = no unfit blocks = free). fallback_cap=0 skips the
+    # switch entirely (unfit blocks keep the kernel's clamped-window
+    # value and are only COUNTED) — control-flow ops act as fusion
+    # barriers on TPU even when the taken branch is empty (the cube
+    # cond measured +13.6 ms, BASELINE.md round-3h).
+    if fallback_cap > 0:
+        tiers = [c for c in (4, 16, fallback_cap)
+                 if c <= fallback_cap]
+        if tiers[-1] != fallback_cap:
+            tiers.append(fallback_cap)
+        bounds = jnp.asarray([0] + tiers[:-1])
+        tier = jnp.sum(n_unfit > bounds)
+        total = jax.lax.switch(
+            tier, [lambda t: t] + [make_fixup(c) for c in tiers], total)
     total = total[:h, :w]
     total = jnp.where(in_range[:h, :w], total, count)
     overflow = jnp.maximum(n_unfit - fallback_cap, 0)

@@ -319,10 +319,11 @@ def build_pairs(
 
 def count_oversized(setup: TriangleSetup, width: int, height: int,
                     tile_h: int, tile_w: int, expand: int):
-    """Validation counter: triangles whose bbox covers more than
-    ``expand`` tiles (they fall into the global bucket every tile walks
-    — ADVICE r2: a scene full of them degrades toward
-    O(n_tiles * n_big_tris) raster work with no warning)."""
+    """Validation counter: triangles that fall into the GLOBAL bucket
+    every tile walks — bbox covers more than ``expand`` tiles AND more
+    than SUPER_EXPAND supertiles (the middle tier absorbs medium
+    triangles) — ADVICE r2: a scene full of them degrades toward
+    O(n_tiles * n_big_tris) raster work with no warning."""
     bbox = setup.bbox
     n_tx = -(-width // tile_w)
     n_ty = -(-height // tile_h)
@@ -338,7 +339,15 @@ def count_oversized(setup: TriangleSetup, width: int, height: int,
         & (bbox[:, 0] < width)
     )
     ncov = (tx1 - tx0 + 1.0) * (ty1 - ty0 + 1.0)
-    return jnp.sum(live & (ncov > expand)).astype(jnp.int32)
+    super_w = _super_w(tile_w)
+    super_h = _super_h(tile_h)
+    ncov_s = (
+        (jnp.floor(tx1 / super_w) - jnp.floor(tx0 / super_w) + 1.0)
+        * (jnp.floor(ty1 / super_h) - jnp.floor(ty0 / super_h) + 1.0)
+    )
+    return jnp.sum(
+        live & (ncov > expand) & (ncov_s > SUPER_EXPAND)
+    ).astype(jnp.int32)
 
 
 def _pack_rows(tile_h: int, tile_w: int, sub_rows: int):

@@ -194,16 +194,19 @@ def _apply_wireframe(attrs: SurfaceAttributes, depth, tid,
 def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                   band: bool = False, rows=None):
     height = rows if rows is not None else dim
-    if _use_pallas(config, band, height):
-        y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
+    s_th = config.shadow_tile_h or config.tile_h
+    s_tw = config.shadow_tile_w or config.tile_w
+    cfg_band = config if s_th == config.tile_h \
+        else config.replace(tile_h=s_th)
+    if _use_pallas(cfg_band, band, height):
+        y0_tiles = jnp.asarray(y0, jnp.int32) // s_th
         setup, _, _, covf = _maybe_compact(setup, None, config)
-        pairs = build_pairs(setup, dim, height, config.tile_h,
-                            config.tile_w,
+        pairs = build_pairs(setup, dim, height, s_th, s_tw,
                             expand=config.pair_expand_shadow,
                             y0_tiles=y0_tiles,
                             max_pairs=config.max_pairs_shadow)
         return rasterize_pairs(
-            pairs, height, dim, tile_h=config.tile_h, tile_w=config.tile_w,
+            pairs, height, dim, tile_h=s_th, tile_w=s_tw,
             sub_rows=config.sub_rows, depth_only=True, y0_tiles=y0_tiles,
         ), pairs.overflow + covf
     return (rasterize_depth(setup, height, dim, chunk=config.tri_chunk,
@@ -305,7 +308,7 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
         sf, _overflow = compute_pcf_vmem(
             shadowmap, sc, radius=config.pcf_radius, scale=config.pcf_scale,
             bias=config.shadow_bias, win_rows=config.pcf_vmem_rows,
-            active=valid,
+            active=valid, fallback_cap=config.pcf_fallback_cap,
             interpret=jax.default_backend() == "cpu",
         )
         if valid is not None:
@@ -506,7 +509,7 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
             base_color, metallic, roughness, normal, ao, world_pos,
             shadow_factor, view, scene.cube_atlas, config.cubemap_size,
             tiled_points=tiled_points, env_fetch=env_fetch,
-            ablate=config.ablate,
+            ablate=config.ablate, cube_pair1=scene.cube_pair1,
         )
     final = gamma_correct(lit["final"] * mask[..., None])
 
@@ -568,6 +571,7 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
         attrs.ao, attrs.world_pos, shadow_factor, view,
         scene.cube_atlas, config.cubemap_size, tiled_points=tiled_points,
         env_fetch=env_fetch, ablate=config.ablate,
+        cube_pair1=scene.cube_pair1,
     )
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(

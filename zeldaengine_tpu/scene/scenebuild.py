@@ -237,6 +237,15 @@ class GpuScene(NamedTuple):
     sky_planes: Optional[jnp.ndarray] = None
     bg_planes: Optional[jnp.ndarray] = None
 
+    # Low-tier cubemap: RGB mip-pair atlas of the HALF-RES cube (levels
+    # 1..max of the full chain — level k here is exactly level k+1 of
+    # cube_atlas, same f32 box-mean chain, same bf16 rounding). 13x3 =
+    # 39-ch rows sit in the fast (<= 104ch) gather tier at ~1/3 the
+    # bytes of the 208-ch env row; reflection lods >= 1 (roughness >=
+    # 0.031 — the reference's mip formula, Common.glsl:191-198) are
+    # served EXACTLY by one gather here. None disables the tier.
+    cube_pair1: Optional[jnp.ndarray] = None
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneMeta:
@@ -622,6 +631,22 @@ class SceneBuilder:
             img = jnp.asarray(images[0]).astype(jnp.bfloat16)
             return jnp.moveaxis(img.astype(out_dtype), -1, 0)
 
+        def _build_cube_pair1(images, out_dtype=jnp.bfloat16):
+            # Half-res RGB mip-pair cube (GpuScene.cube_pair1): box-mean
+            # the faces once (the same 2x2 f32 mean the full chain
+            # uses), drop alpha, pair-pack. Level k == cube level k+1
+            # exactly.
+            from zeldaengine_tpu.ops.texture import (
+                build_mip_pair_atlas_device,
+            )
+
+            img = jnp.asarray(images, jnp.float32)
+            n, s, _, c = img.shape
+            lvl1 = img.reshape(n, s // 2, 2, s // 2, 2, c).mean((2, 4))
+            return build_mip_pair_atlas_device(
+                lvl1[..., :3], out_dtype=out_dtype
+            )
+
         # Device-resident atlas cache: packing (the 13-group mip-pair
         # expansion is seconds of NumPy at 256^2) and the device upload
         # (~90 MB of atlases; the tunnel moves ~100 MB/s) dominate
@@ -686,6 +711,21 @@ class SceneBuilder:
         # 13x-expanded 163 MB pair cube leaves the regime it was
         # measured in. Table SIZE matters even when row count doesn't.
         cube_atlas = cached_atlas("cube", self.cube_faces, _bma)
+        # Static shininess gate for the low-tier cube: the pair1 path is
+        # exact only when every pixel's reflection lod >= 1, i.e. the
+        # scene's minimum material roughness >= 0.031 (Common.glsl mip
+        # formula). Shinier scenes keep the full-res quad path. (The
+        # Details-panel roughness OVERRIDE multiplies below this bound
+        # only in debug sessions; set cube_low_tier=False for exact
+        # near-mirror overrides.)
+        min_rough = min(
+            (float(img[..., 10].min()) for img in combined_imgs),
+            default=1.0,
+        )
+        cube_pair1 = (
+            cached_atlas("cube_p1", self.cube_faces, _build_cube_pair1)
+            if self.config.cube_low_tier and min_rough >= 0.031 else None
+        )
         sky_tex = cached_atlas("sky", self.sky_image[None], _bma)
         bg_tex = cached_atlas("bg", self.bg_image[None], _bma)
         env_table = None
@@ -738,6 +778,7 @@ class SceneBuilder:
                                     _planes_f32, dtype=jnp.float32),
             bg_planes=cached_atlas("bg_pl", self.bg_image[None],
                                    _planes_f32, dtype=jnp.float32),
+            cube_pair1=cube_pair1,
         )
         meta = SceneMeta(
             enable_skydome=self.enable_skydome,
