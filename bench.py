@@ -179,10 +179,19 @@ def main() -> None:
         # pair_expand=4: meshlet triangles are tiny on screen (a bbox
         # covering >4 tiles is rare), and pair-binning prep (T*E keys to
         # sort + gather) scales linearly with the cap at T~1M.
+        # compact_tris (VERDICT r2 #2): live (post-cone-cull, on-screen)
+        # triangles cumsum-compact into 512k slots BEFORE pair expansion,
+        # so the sort/gather prep tracks the CULL RESULT (~half the
+        # sphere meshlets face away) instead of the 1M-tri pool.
+        # max_pairs: the record gather runs over live pairs only (the
+        # sized indirect-command-buffer analogue).
         config = EngineConfig(width=1024, height=1024, shadowmap_dim=512,
                               texture_size=128, cubemap_size=64,
                               background_size=128, max_point_lights=8,
-                              pair_expand=4)
+                              pair_expand=4,
+                              compact_tris=512 * 1024,
+                              max_pairs=512 * 1024,
+                              max_pairs_shadow=256 * 1024)
         from zeldaengine_tpu.meshlet import build_meshlets
         from zeldaengine_tpu.scene.mesh import make_sphere
 
@@ -208,6 +217,24 @@ def main() -> None:
         detail.update(bake_s=round(bake_s, 2), meshlets=meta.num_meshlets)
         metric, unit = "meshlets culled/sec", "meshlets/s"
         target = None
+
+        # Report the ACTUAL per-frame cull result (VERDICT r2 #2: a frame
+        # where culling provably removes >=50% of meshlets): frustum +
+        # backface-cone cull at this camera kills the away-facing half of
+        # every sphere.
+        import jax.numpy as jnp
+        from zeldaengine_tpu.ops.culling import meshlet_cull
+        from zeldaengine_tpu.passes.view import build_view_state as _bvs
+
+        v0 = _bvs(world, config, time=0.0)
+        vp_model = np.asarray(v0.view_proj) @ np.asarray(v0.model)
+        vis = np.asarray(meshlet_cull(
+            scene.meshlet_records, jnp.asarray(vp_model), v0.camera_pos,
+            model=v0.model,
+        ))
+        culled = int(vis.size - vis.sum())
+        detail.update(meshlets_culled=culled,
+                      culled_frac=round(culled / max(vis.size, 1), 3))
 
     elif args.config == 5:
         # Livelink streaming: a procedurally generated world is sent over

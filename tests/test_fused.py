@@ -65,7 +65,7 @@ def fused_setup():
         two_sided=scene.tri_two_sided,
         valid_mask=scene.tri_valid & scene.tri_deferred,
     )
-    return cfg, scene, setup, world, n_world
+    return cfg, scene, meta, setup, world, n_world
 
 
 def _fused_run(cfg, scene, setup, world, n_world):
@@ -82,7 +82,7 @@ def _fused_run(cfg, scene, setup, world, n_world):
 
 
 def test_fused_matches_plain_visibility(fused_setup):
-    cfg, scene, setup, world, n_world = fused_setup
+    cfg, scene, meta, setup, world, n_world = fused_setup
     pairs16 = build_pairs(setup, cfg.width, cfg.height, cfg.tile_h,
                           cfg.tile_w, expand=cfg.pair_expand)
     depth_p, tid_p = rasterize_pairs(
@@ -96,12 +96,14 @@ def test_fused_matches_plain_visibility(fused_setup):
 
 
 def test_fused_attrs_match_gather_path(fused_setup):
-    cfg, scene, setup, world, n_world = fused_setup
+    cfg, scene, meta, setup, world, n_world = fused_setup
     depth_f, tid_f, planes = _fused_run(cfg, scene, setup, world, n_world)
     assert planes.shape == (ATTR_CH, cfg.height, cfg.width)
 
-    attrs_j = surface_attributes(scene, setup, tid_f, world, n_world, cfg)
-    attrs_f = surface_attributes_from_planes(scene, planes, cfg)
+    attrs_j = surface_attributes(scene, setup, tid_f, world, n_world,
+                                 cfg, var_ch=meta.tex_channels)
+    attrs_f = surface_attributes_from_planes(
+        scene, planes, cfg, var_ch=meta.tex_channels)
 
     cov = np.asarray(attrs_j.covered)
     np.testing.assert_array_equal(np.asarray(attrs_f.covered), cov)
@@ -124,7 +126,7 @@ def test_fused_narrow_tiles_match(fused_setup, tile_h, tile_w):
     """Narrow/tall raster tile shapes (tile_w < 128) must reproduce the
     128-wide result exactly — the phase-2 record fetch pads its lane
     index block to the full 128-lane slice vreg and slices back."""
-    cfg, scene, setup, world, n_world = fused_setup
+    cfg, scene, meta, setup, world, n_world = fused_setup
     depth_r, tid_r, planes_r = _fused_run(cfg, scene, setup, world,
                                           n_world)
     cfg_n = cfg.replace(tile_h=tile_h, tile_w=tile_w)

@@ -178,6 +178,29 @@ VARIANTS = {
                      "enable_shadow": False},
         }.items()
     },
+    # Ablation batch on the CURRENT bench bundle (t64 + pair1 low-tier
+    # reflection, no env_merge — bench.py config 3 defaults).
+    **{
+        f"p1_{k}": {
+            "raster": "fused", "pcf_backend": "vmem",
+            "_adaptive_caps": True,
+            "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+            "tile_h": 64, "tile_w": 32, **v,
+        }
+        for k, v in {
+            "notex": {"ablate": "notex"},
+            "nolight": {"ablate": "nolight"},
+            "norefl": {"ablate": "norefl"},
+            "nodirect": {"ablate": "nodirect"},
+            "nopcf": {"ablate": "nopcf"},
+            "nosky": {"ablate": "nosky"},
+            "noswitch": {"ablate": "noswitch"},
+            "noattrs": {"ablate": "noattrs"},
+            "noshadow": {"enable_shadow": False},
+            "bare": {"ablate": "nopcf,nolight,notex,noswitch,nosky",
+                     "enable_shadow": False},
+        }.items()
+    },
     # env_merge off under the t64 bundle: reflection via the quad cube
     # (2 x 64ch gathers) + sky/bg via the windowed VMEM taps.
     "t64_noenv": {"raster": "fused", "pcf_backend": "vmem",
@@ -218,6 +241,42 @@ VARIANTS = {
                   "tile_h": 64, "tile_w": 32, "pair_expand": 12},
     # Post-vmem attribution: split the lighting ablation into its
     # direct-loop and IBL-reflection (cubemap gather) halves.
+    # Shadow-pass shape/expand sweep under the CURRENT bench bundle.
+    **{
+        f"p1sh_{k}": {
+            "raster": "fused", "pcf_backend": "vmem",
+            "_adaptive_caps": True,
+            "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+            "tile_h": 64, "tile_w": 32, **v,
+        }
+        for k, v in {
+            "32x128": {"shadow_tile_h": 32, "shadow_tile_w": 128},
+            "64x128": {"shadow_tile_h": 64, "shadow_tile_w": 128},
+            "64x32": {"shadow_tile_h": 64, "shadow_tile_w": 32},
+            "exp2": {"pair_expand_shadow": 2},
+            "cap192": {"max_pairs_shadow": 192 * 1024},
+        }.items()
+    },
+    # Config-4 (1M-tri meshlet scene) tuning: live-triangle compaction
+    # sized to the post-cull count (cone cull kills ~half the sphere
+    # meshlets), live-pair caps, tile shapes. Run with --scene c4.
+    "c4_base": {},
+    "c4_cap": {"max_pairs": 512 * 1024, "max_pairs_shadow": 256 * 1024},
+    "c4_compact": {"compact_tris": 512 * 1024,
+                   "max_pairs": 512 * 1024,
+                   "max_pairs_shadow": 256 * 1024},
+    "c4_compact_t64": {"compact_tris": 512 * 1024,
+                       "max_pairs": 512 * 1024,
+                       "max_pairs_shadow": 256 * 1024,
+                       "tile_h": 64, "tile_w": 32},
+    "c4_compact_e8": {"compact_tris": 512 * 1024,
+                      "max_pairs": 512 * 1024,
+                      "max_pairs_shadow": 256 * 1024,
+                      "pair_expand": 8},
+    "c4_compact_sh": {"compact_tris": 512 * 1024,
+                      "max_pairs": 512 * 1024,
+                      "max_pairs_shadow": 192 * 1024,
+                      "shadow_tile_h": 32, "shadow_tile_w": 128},
     "vm_norefl": {"raster": "fused", "pcf_backend": "vmem",
                   "ablate": "norefl"},
     "vm_nodirect": {"raster": "fused", "pcf_backend": "vmem",

@@ -889,14 +889,15 @@ def render_rows(
             depth_d, tid_d, planes_d, ovf_d = _raster_vis_fused(
                 setup, extra, height, width, config, y0=y0
             )
-            attrs_d = surface_attributes_from_planes(scene, planes_d,
-                                                     config)
+            attrs_d = surface_attributes_from_planes(
+                scene, planes_d, config, var_ch=meta.tex_channels)
         else:
             depth_d, tid_d, ovf_d = _raster_vis(
                 setup, height, width, config, y0=y0, band=not full_frame
             )
             attrs_d = surface_attributes(
-                scene, setup, tid_d, world, n_world, config, y0=y0
+                scene, setup, tid_d, world, n_world, config, y0=y0,
+                var_ch=meta.tex_channels,
             )
         if config.wireframe:
             attrs_d, depth_d, tid_d = _apply_wireframe(
@@ -929,15 +930,16 @@ def render_rows(
                 setup_f, extra_f, height, width, config,
                 init_depth=depth_d, y0=y0,
             )
-            attrs_f = surface_attributes_from_planes(scene, planes_f,
-                                                     config)
+            attrs_f = surface_attributes_from_planes(
+                scene, planes_f, config, var_ch=meta.tex_channels)
         else:
             depth, tid_f, ovf_f = _raster_vis(
                 setup_f, height, width, config, init_depth=depth_d, y0=y0,
                 band=not full_frame,
             )
             attrs_f = surface_attributes(
-                scene, setup_f, tid_f, world, n_world, config, y0=y0
+                scene, setup_f, tid_f, world, n_world, config, y0=y0,
+                var_ch=meta.tex_channels,
             )
         if config.wireframe:
             attrs_f, depth, tid_f = _apply_wireframe(

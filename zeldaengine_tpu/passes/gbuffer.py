@@ -53,6 +53,7 @@ def surface_attributes(
     pair_normal_world: jnp.ndarray,
     config: EngineConfig,
     y0=0.0,
+    var_ch=None,
 ) -> SurfaceAttributes:
     """Resolve per-pixel surface attributes from a visibility buffer.
 
@@ -148,12 +149,64 @@ def surface_attributes(
     return _finish_attributes(
         scene, config, covered, combo, uv, lod, vertex_color, world_pos,
         frag_normal, duv_dx, duv_dy, dpos_dx, dpos_dy, bary_min=bary_min,
+        var_ch=var_ch,
     )
+
+
+def _material_texels(scene, config, combo, uv, lod, var_ch):
+    """The per-pixel material fetch: ONE mip-pair gather over the
+    VARYING channels + per-combo constants for the rest (constant-slot
+    elision — gather cost tracks channel count, and default PBR slots
+    are spatially constant). Returns (H, W, 13) in the canonical channel
+    order [bc.rgb, nrm.rgb, em.rgb, metallic, roughness, ao, mask].
+
+    ``var_ch`` = SceneMeta.tex_channels (None = legacy full-16 atlas)."""
+    if scene.mat_const is None:
+        return sample_trilinear_packed(
+            scene.combined_atlas, combo, uv, lod, config.texture_size
+        )  # (H, W, 16) — legacy full-16 atlas
+    assert var_ch is not None, (
+        "scene was built with constant-slot elision; pass "
+        "var_ch=SceneMeta.tex_channels"
+    )
+    n_var = scene.combined_atlas.shape[-1] // 13
+    assert n_var == max(len(var_ch), 1), (n_var, var_ch)
+    tex_var = None
+    if var_ch:
+        tex_var = sample_trilinear_packed(
+            scene.combined_atlas, combo, uv, lod, config.texture_size
+        )  # (H, W, len(var_ch))
+    var_set = set(var_ch)
+    const_ch = [c for c in range(13) if c not in var_set]
+    mc = scene.mat_const.shape[0]
+    if const_ch:
+        table = scene.mat_const[:, const_ch]  # (Mc, k2)
+        if mc == 1:
+            cvals = jnp.broadcast_to(table[0], combo.shape + table.shape[1:])
+        elif mc <= 8:
+            # Select chain beats a per-pixel gather at few combos.
+            cvals = jnp.broadcast_to(table[0], combo.shape + table.shape[1:])
+            for i in range(1, mc):
+                cvals = jnp.where((combo == i)[..., None], table[i], cvals)
+        else:
+            cvals = table[combo]
+    chans = []
+    vi = 0
+    ci = 0
+    for c in range(13):
+        if c in var_set:
+            chans.append(tex_var[..., vi])
+            vi += 1
+        else:
+            chans.append(cvals[..., ci])
+            ci += 1
+    return jnp.stack(chans, axis=-1)
 
 
 def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
                        world_pos, frag_normal, duv_dx, duv_dy, dpos_dx,
-                       dpos_dy, bary_min=None) -> SurfaceAttributes:
+                       dpos_dy, bary_min=None,
+                       var_ch=None) -> SurfaceAttributes:
     """Texture tap + TBN shared by the gather path and the fused-kernel
     path (identical math; the fused kernel only replaces how the
     interpolants were produced)."""
@@ -173,9 +226,7 @@ def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
             uv.shape[:2] + (16,),
         ) + lod[..., None] * 1e-9
     else:
-        texels = sample_trilinear_packed(
-            scene.combined_atlas, combo, uv, lod, config.texture_size
-        )  # (H, W, 16)
+        texels = _material_texels(scene, config, combo, uv, lod, var_ch)
     base_color = texels[..., 0:3]
     tex_normal = texels[..., 3:6]
     emissive = texels[..., 6:9]
@@ -204,7 +255,7 @@ def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
 
 
 def surface_attributes_from_planes(
-    scene, planes: jnp.ndarray, config: EngineConfig
+    scene, planes: jnp.ndarray, config: EngineConfig, var_ch=None
 ) -> SurfaceAttributes:
     """Build SurfaceAttributes from the fused kernel's (ATTR_CH, H, W)
     output planes (ops/rasterize_pallas.py ATTR_CH layout): the kernel
@@ -240,6 +291,7 @@ def surface_attributes_from_planes(
         world_pos=v(8, 11), frag_normal=v(11, 14),
         duv_dx=v(14, 16), duv_dy=v(16, 18),
         dpos_dx=v(18, 21), dpos_dy=v(21, 24), bary_min=bary_min,
+        var_ch=var_ch,
     )
 
 

@@ -100,7 +100,8 @@ def profile_passes(
 
     @jax.jit
     def attrs_fn(scene, setup, tid, world, n_world):
-        return surface_attributes(scene, setup, tid, world, n_world, config)
+        return surface_attributes(scene, setup, tid, world, n_world, config,
+                                  var_ch=meta.tex_channels)
 
     @jax.jit
     def pcf(shadowmap, world_pos, view):

@@ -246,6 +246,17 @@ class GpuScene(NamedTuple):
     # served EXACTLY by one gather here. None disables the tier.
     cube_pair1: Optional[jnp.ndarray] = None
 
+    # Constant-slot elision (per-combo scalar channels): texel (0, 0) of
+    # every combo's 16-channel combined image. Channels that are
+    # SPATIALLY CONSTANT in every combo (the norm — the reference
+    # defaults missing PBR slots to solid 1x1-equivalent textures,
+    # CreateRenderObjectsFromProfabs ZeldaEngine.cpp:4951-4989) are
+    # dropped from ``combined_atlas`` and served from this tiny table
+    # instead; ``SceneMeta.tex_channels`` lists the channels that stayed
+    # in the atlas. Gather cost tracks CHANNEL COUNT (BASELINE.md), so a
+    # basecolor+normal-only scene taps 78ch instead of 208ch.
+    mat_const: Optional[jnp.ndarray] = None  # (Mc, 16) f32
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneMeta:
@@ -263,6 +274,10 @@ class SceneMeta:
     # (cube (6,S,S/2), sky (1,Ss,Ss/2), bg (1,Sb,Sb/2)) atlas shapes of
     # the merged env table; None when env_merge is off.
     env_shapes: Optional[tuple] = None
+    # Channels (of the 16-channel combined layout) that vary spatially
+    # and therefore live in ``combined_atlas``; the rest come from
+    # ``GpuScene.mat_const``. None = legacy full-16 atlas.
+    tex_channels: Optional[tuple] = None
 
 
 class SceneBuilder:
@@ -687,8 +702,26 @@ class SceneBuilder:
                 combined_imgs.append(img16)
                 combo_cache[key] = len(combined_imgs) - 1
             mat_combined[mi] = combo_cache[key]
-        combined_atlas = cached_atlas(
-            "combined", np.stack(combined_imgs), _bmp)
+        # Constant-slot elision: channels that are spatially constant in
+        # EVERY combo (defaults like flat normals, black emissive, solid
+        # metallic/roughness/AO/mask) are served per-combo from the tiny
+        # mat_const table; only varying channels pay the per-pixel
+        # atlas gather, whose cost tracks channel count (13x per texel
+        # row in the mip-pair layout).
+        stack16 = np.stack(combined_imgs)  # (Mc, S, S, 16)
+        mc = stack16.shape[0]
+        flat = stack16.reshape(mc, -1, 16)
+        var_mask = (flat.max(axis=1) - flat.min(axis=1)).max(axis=0) > 0.0
+        tex_channels = tuple(int(c) for c in np.nonzero(var_mask)[0])
+        # bf16-round the constants: the atlas path stored bf16 texels, so
+        # rounding keeps constant channels BIT-IDENTICAL to the gathered
+        # values (a lerp of equal values is the value).
+        mat_const = jnp.asarray(
+            stack16[:, 0, 0, :].astype(jnp.bfloat16), jnp.float32
+        )
+        atlas_src = (stack16[..., list(tex_channels)] if tex_channels
+                     else stack16[..., :1])
+        combined_atlas = cached_atlas("combined", atlas_src, _bmp)
 
         pair_static = np.zeros((p_cap, 8), np.float32)
         pair_static[:n_pairs, 0:2] = pair_uv
@@ -779,6 +812,7 @@ class SceneBuilder:
             bg_planes=cached_atlas("bg_pl", self.bg_image[None],
                                    _planes_f32, dtype=jnp.float32),
             cube_pair1=cube_pair1,
+            mat_const=mat_const,
         )
         meta = SceneMeta(
             enable_skydome=self.enable_skydome,
@@ -792,5 +826,6 @@ class SceneBuilder:
             num_meshlets=int(meshlet_records.shape[0])
             if self._meshlet_records else 0,
             env_shapes=env_shapes,
+            tex_channels=tex_channels,
         )
         return scene, meta
