@@ -409,6 +409,47 @@ def build_quad_packed_atlas_device(images, out_dtype=jnp.bfloat16):
     return packed.reshape(n_, s_, w2 // 4, 4 * c4).astype(out_dtype)
 
 
+def _np_to_dtype(a: np.ndarray, out_dtype):
+    """Host-side dtype cast matching XLA's convert (bf16 = round-to-
+    nearest-even via ml_dtypes)."""
+    if out_dtype in (jnp.bfloat16, "bfloat16"):
+        import ml_dtypes
+
+        return np.asarray(a, ml_dtypes.bfloat16)
+    return np.asarray(a, np.dtype(out_dtype))
+
+
+def build_mip_pair_atlas_host(images, out_dtype=jnp.bfloat16):
+    """First-touch mip-pair atlas build on the HOST (NumPy; returns a
+    NumPy array — the caller uploads once and saves the host bytes to
+    the disk tier without a device round trip).
+
+    The jitted device twin measured a 554.8 s XLA COMPILE for the
+    (1, 256, 256, 1) demo shape on a cold compilation cache (BASELINE.md
+    round 4) — two orders of magnitude over the whole NumPy build. Cold
+    scene builds therefore pack on host; the content-hash device/disk
+    caches (scenebuild.cached_atlas) still make repeat builds free, and
+    because every backend consumes the same cached bytes, CPU/TPU golden
+    parity is unaffected by host-vs-XLA ULP differences in the mip means.
+    """
+    return _np_to_dtype(
+        build_mip_pair_atlas(np.asarray(images, np.float32)), out_dtype)
+
+
+def build_quad_packed_atlas_host(images, out_dtype=jnp.bfloat16):
+    """``build_quad_packed_atlas`` + cast, on host (see the mip-pair
+    host builder for why first-touch builds avoid the jitted twins)."""
+    return _np_to_dtype(
+        build_quad_packed_atlas(np.asarray(images, np.float32)),
+        out_dtype)
+
+
+def build_quad_pair_atlas_host(images, out_dtype=jnp.bfloat16):
+    pair = build_mip_pair_atlas(np.asarray(images, np.float32))
+    n, s, w2, c13 = pair.shape
+    return _np_to_dtype(pair.reshape(n, s, w2 // 4, 4 * c13), out_dtype)
+
+
 def sample_trilinear_pair(atlas13: jnp.ndarray, layer, uv, lod, base: int):
     """Trilinear from a mip-pair atlas: ONE gather per pixel.
 

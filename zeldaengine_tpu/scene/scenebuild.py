@@ -95,9 +95,12 @@ def _atlas_disk_save(key, atlas) -> None:
     if path is None:
         return
     try:
-        import jax
+        if isinstance(atlas, np.ndarray):
+            host = atlas
+        else:  # device array (legacy callers)
+            import jax
 
-        host = np.asarray(jax.device_get(atlas))
+            host = np.asarray(jax.device_get(atlas))
         dtype = str(atlas.dtype)
         if dtype == "bfloat16":
             host = host.view(np.uint16)
@@ -636,37 +639,36 @@ class SceneBuilder:
         # mip-pair-packed so ONE gather returns the whole trilinear
         # footprint (2x2 at level l + 3x3 at l+1).
         from zeldaengine_tpu.ops.texture import (
-            build_mip_pair_atlas_device as _bmp,
-            build_quad_packed_atlas_device as _bma,
+            build_mip_pair_atlas as _bmp_np,
+            build_mip_pair_atlas_host as _bmp,
+            build_quad_packed_atlas_host as _bma,
         )
 
         def _planes_f32(images, out_dtype=jnp.float32):
             # (1, S, S, C) -> (C, S, S) f32 with the quad atlas's bf16
             # rounding, for the windowed VMEM sky/bg tap.
-            img = jnp.asarray(images[0]).astype(jnp.bfloat16)
-            return jnp.moveaxis(img.astype(out_dtype), -1, 0)
+            import ml_dtypes
+
+            img = np.asarray(images[0], np.float32)
+            img = np.asarray(img, ml_dtypes.bfloat16).astype(out_dtype)
+            return np.ascontiguousarray(np.moveaxis(img, -1, 0))
 
         def _build_cube_pair1(images, out_dtype=jnp.bfloat16):
             # Half-res RGB mip-pair cube (GpuScene.cube_pair1): box-mean
             # the faces once (the same 2x2 f32 mean the full chain
             # uses), drop alpha, pair-pack. Level k == cube level k+1
             # exactly.
-            from zeldaengine_tpu.ops.texture import (
-                build_mip_pair_atlas_device,
-            )
+            from zeldaengine_tpu.ops.texture import _np_to_dtype
 
-            img = jnp.asarray(images, jnp.float32)
+            img = np.asarray(images, np.float32)
             n, s, _, c = img.shape
             lvl1 = img.reshape(n, s // 2, 2, s // 2, 2, c).mean((2, 4))
-            return build_mip_pair_atlas_device(
-                lvl1[..., :3], out_dtype=out_dtype
-            )
+            return _np_to_dtype(_bmp_np(lvl1[..., :3]), out_dtype)
 
-        # Device-resident atlas cache: packing (the 13-group mip-pair
-        # expansion is seconds of NumPy at 256^2) and the device upload
-        # (~90 MB of atlases; the tunnel moves ~100 MB/s) dominate
-        # livelink reload latency, and texture content rarely changes
-        # between reloads. Keyed by content hash; bounded LRU-ish.
+        # Device-resident atlas cache: packing and the device upload
+        # (~90 MB of atlases pre-elision; the tunnel moves ~100 MB/s)
+        # dominate livelink reload latency, and texture content rarely
+        # changes between reloads. Keyed by content hash; bounded LRU-ish.
         def cached_atlas(kind, images, build_fn, dtype=jnp.bfloat16):
             key = (kind, images.shape, str(dtype),
                    hashlib.md5(np.ascontiguousarray(images)).hexdigest())
@@ -674,11 +676,17 @@ class SceneBuilder:
             if hit is None:
                 hit = _atlas_disk_load(key)
             if hit is None:
-                # Built ON DEVICE (jitted gathers/means): the NumPy
-                # builders write ~1 GB of host memory at demo scale and
-                # dominated cold scene-build time.
-                hit = build_fn(images, out_dtype=dtype)
-                _atlas_disk_save(key, hit)
+                # Built on HOST (NumPy + one upload): the jitted device
+                # builders cost ONE PATHOLOGICAL XLA COMPILE on a cold
+                # cache (554.8 s measured for the demo's (1,256,256,1)
+                # mip-pair shape, BASELINE.md round 4) — the recorded
+                # 645 s round-3 cold scene build. NumPy packs the same
+                # bytes in ~1 s, needs no compiler, and the disk tier
+                # saves the host bytes directly (a device_get round trip
+                # here measured 4.7 s of the remaining cold build).
+                host = build_fn(images, out_dtype=dtype)
+                _atlas_disk_save(key, host)
+                hit = jnp.asarray(host)
             while len(_DEVICE_ATLAS_CACHE) >= 8:
                 _DEVICE_ATLAS_CACHE.pop(next(iter(_DEVICE_ATLAS_CACHE)))
             # Re-insert at the end: true LRU eviction order (a hit keeps
@@ -766,7 +774,7 @@ class SceneBuilder:
         if self.config.env_merge:
             from zeldaengine_tpu.ops.envtap import flatten_env_tables
             from zeldaengine_tpu.ops.texture import (
-                build_quad_pair_atlas_device as _bqp,
+                build_quad_pair_atlas_host as _bqp,
             )
 
             cube_qp = cached_atlas("cube_qp", self.cube_faces, _bqp)
