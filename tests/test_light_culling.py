@@ -89,3 +89,65 @@ def test_tile_cull_lists_are_sane(rng):
     # lights than the total (otherwise culling buys nothing).
     assert cnt.mean() < 35, cnt.mean()
     assert np.asarray(tile_idx).max() < 96
+
+
+def test_depth_bounds_cull_occluded_lights():
+    """VERDICT r3 #6: a wall hides 100 lights — with depth bounds (the
+    per-tile world AABB of the visible surface) they stop occupying the
+    k_max slots, where the screen-rect test alone saturates every tile."""
+    from zeldaengine_tpu.ops.lighting import cull_point_lights_tiled
+    from zeldaengine_tpu.passes.view import build_view_state
+
+    h = w = 128
+    rng = np.random.RandomState(7)
+    world = World()
+    world.main_camera = CameraDesc(
+        position=np.array([0.0, -6.0, 0.0], np.float32),
+        lookat=np.array([0.0, 0.0, 0.0], np.float32),
+    )
+    # 100 lights far behind the visible wall (y >> 0), small radius.
+    for _ in range(100):
+        world.point_lights.append(LightDesc(
+            position=np.array(
+                [rng.uniform(-3, 3), 50.0, rng.uniform(-3, 3)], np.float32),
+            type=1, intensity=5.0, radius=1.0,
+        ))
+    cfg = CONFIG.replace(max_point_lights=128, max_tile_lights=8)
+    # keep the authored positions (the default re-scatters point lights
+    # into the reference's spinning ring, :4637-4646)
+    view = build_view_state(world, cfg, time=0.0,
+                            animate_point_lights=False)
+    # The visible surface: a wall at y=0 filling the screen.
+    xs = np.linspace(-4, 4, w, dtype=np.float32)
+    zs = np.linspace(4, -4, h, dtype=np.float32)
+    wall = np.stack(np.broadcast_arrays(
+        xs[None, :], np.zeros((h, w), np.float32), zs[:, None]), -1)
+    covered = jnp.ones((h, w), bool)
+
+    # Screen-rect only: every light's rect covers mid-screen tiles and
+    # the 8-slot cap drops most of them.
+    _, cnt0, drops0 = cull_point_lights_tiled(
+        view.point_lights, view.lights_count[1], view, w, h, 8, 128, 8)
+    assert int(drops0) > 0 and int(jnp.max(cnt0)) == 8
+
+    # With depth bounds every occluded light is culled: no drops, no
+    # slots wasted.
+    _, cnt1, drops1 = cull_point_lights_tiled(
+        view.point_lights, view.lights_count[1], view, w, h, 8, 128, 8,
+        world_pos=jnp.asarray(wall), covered=covered)
+    assert int(drops1) == 0
+    assert int(jnp.max(cnt1)) == 0
+
+
+def test_depth_bounds_keep_reaching_lights():
+    """Lights that DO reach the visible surface survive depth bounds and
+    the lit result matches the brute-force loop exactly."""
+    rng = np.random.RandomState(3)
+    scene, meta = _scene()
+    world = _world(24, rng)
+    view = build_view_state(world, CONFIG, time=0.0)
+    img_tiled, _ = render_rows(scene, view, meta, CONFIG)
+    img_brute, _ = render_rows(
+        scene, view, meta, CONFIG.replace(tiled_lights_min=4096))
+    assert np.allclose(np.asarray(img_tiled), np.asarray(img_brute),
+                       atol=1e-6)

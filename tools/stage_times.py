@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--cap_pairs", type=int, default=0)
     ap.add_argument("--tile_h", type=int, default=0)
     ap.add_argument("--tile_w", type=int, default=0)
+    ap.add_argument("--zsort", type=int, default=1,
+                    help="front-to-back pair ordering (build_pairs sort_z)")
     args = ap.parse_args()
 
     import jax
@@ -148,7 +150,8 @@ def main():
         setup, extra = maybe_compact(setup, extra)
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                             expand=config.pair_expand, extra=extra,
-                            max_pairs=config.max_pairs)
+                            max_pairs=config.max_pairs,
+                            sort_z=bool(args.zsort))
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -200,7 +203,8 @@ def main():
                 pairs = build_pairs(setup, pw, ph, config.tile_h,
                                     config.tile_w,
                                     expand=config.pair_expand, extra=extra,
-                                    max_pairs=config.max_pairs)
+                                    max_pairs=config.max_pairs,
+                                    sort_z=bool(args.zsort))
                 # pairs are loop-invariant (hoisted); init_depth carries dt
                 init = jnp.ones((ph, pw), jnp.float32) + dt
                 d, tid, planes = rasterize_pairs_fused(
@@ -227,7 +231,8 @@ def main():
                          if name == "kernel1" else None)
                 pairs = build_pairs(setup, pw, ph, config.tile_h,
                                     config.tile_w,
-                                    expand=config.pair_expand, extra=extra)
+                                    expand=config.pair_expand, extra=extra,
+                                    sort_z=bool(args.zsort))
                 init = jnp.ones((ph, pw), jnp.float32) + dt
                 if name == "kernel1d":
                     d = rasterize_pairs(

@@ -106,6 +106,17 @@ class EngineConfig:
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8
+    # Front-to-back pair ordering (build_pairs sort_z): winners cluster
+    # in the first slices of every bin, collapsing the fused kernel's
+    # phase-2 winner windows (~10 ms of the round-4 demo kernel). Only
+    # exact-depth ties between different triangles can change winner.
+    raster_zsort: bool = True
+    # Reflection IBL gather at half resolution + bilinear upsample (the
+    # gather is ~all of the reflection cost and rough reflections are
+    # low-frequency). Off by default: changes output (not bit-exact to
+    # the full-res tap); the bench bundle enables it for scenes whose
+    # minimum roughness keeps every reflection at cube mip >= 1.
+    reflection_half: bool = False
     # PCF backend: "auto"/"packed" = neighborhood-packed table + one flat
     # gather per pixel (exact tap-for-tap everywhere); "pallas" = the
     # windowed one-hot kernel (approximate when a tile's shadow footprint

@@ -134,6 +134,8 @@ def cull_point_lights_tiled(
     k_max: int,
     y0=0.0,
     vp_h: int | None = None,
+    world_pos=None,  # (H, W, 3) visible-surface positions (depth bounds)
+    covered=None,  # (H, W) bool — pixels whose world_pos is real
 ):
     """Per-screen-tile point-light lists: conservative projected-sphere vs
     tile-rect binning + top-k_max compaction.
@@ -146,6 +148,15 @@ def cull_point_lights_tiled(
     — round 2 fell back to the 512-iteration per-pixel loop there).
     ``height`` may be any row count: the tile grid covers ceil(h/tile_h)
     rows (the shading side pads and crops to match).
+
+    ``world_pos``/``covered`` add DEPTH BOUNDS (VERDICT r3 #6): each
+    tile's visible surface is bounded by a world-space AABB and a light
+    is kept only if its sphere reaches that box — strictly stronger than
+    the classic per-tile z-min/max (it bounds all three axes), and a
+    light fully occluded behind a wall stops eating the k_max slots. A
+    tile with no covered pixels keeps no lights (nothing to shade).
+    Without them the test is the screen-rect overlap alone.
+
     Returns (tile_idx (Ty, Tx, K) int32, tile_cnt (Ty, Tx) int32,
     drops () int32 — lights dropped by the per-tile cap).
     """
@@ -185,6 +196,31 @@ def cull_point_lights_tiled(
     mask = (
         oy[:, :, None] & ox[:, None, :] & live[:, None, None]
     )  # (L, Ty, Tx)
+
+    if world_pos is not None:
+        # Depth bounds: per-tile world-space AABB of the covered pixels,
+        # light kept only if dist(sphere center, AABB) <= radius.
+        big = 3.0e38
+        pad_rows = n_ty * tile_h - world_pos.shape[0]
+        wp = world_pos
+        cov = covered if covered is not None else jnp.ones(
+            world_pos.shape[:2], bool)
+        if pad_rows:
+            wp = jnp.pad(wp, ((0, pad_rows), (0, 0), (0, 0)))
+            cov = jnp.pad(cov, ((0, pad_rows), (0, 0)))
+        p5 = wp.reshape(n_ty, tile_h, n_tx, tile_w, 3)
+        c5 = cov.reshape(n_ty, tile_h, n_tx, tile_w, 1)
+        lo_b = jnp.min(jnp.where(c5, p5, big), axis=(1, 3))  # (Ty,Tx,3)
+        hi_b = jnp.max(jnp.where(c5, p5, -big), axis=(1, 3))
+        any_cov = cov.reshape(n_ty, tile_h, n_tx, tile_w).any((1, 3))
+        gap = jnp.maximum(
+            jnp.maximum(lo_b[None] - pos[:, None, None, :],
+                        pos[:, None, None, :] - hi_b[None]),
+            0.0,
+        )  # (L, Ty, Tx, 3)
+        dist2 = jnp.sum(gap * gap, axis=-1)
+        reach = dist2 <= (radius * radius)[:, None, None]
+        mask = mask & reach & any_cov[None]
     mask = jnp.moveaxis(mask, 0, -1)  # (Ty, Tx, L)
     # Compact: light indices with hits first (stable order), capped at K.
     order = jnp.argsort(~mask, axis=-1, stable=True)
@@ -269,27 +305,53 @@ def _point_lighting_tiled(
     return acc.reshape(height, width, 3)
 
 
+def _upsample2(a, axis: int, n_out: int):
+    """2x bilinear upsample along ``axis`` for a signal sampled at even
+    output pixels: out[2i] = a[i], out[2i+1] = (a[i] + a[i+1]) / 2
+    (edge-clamped), cropped to ``n_out``."""
+    n = a.shape[axis]
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(a, 1, n, axis=axis),
+         jax.lax.slice_in_dim(a, n - 1, n, axis=axis)], axis)
+    mid = (a + nxt) * 0.5
+    out = jnp.stack([a, mid], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] = 2 * n
+    out = out.reshape(shape)
+    return jax.lax.slice_in_dim(out, 0, n_out, axis=axis)
+
+
 def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
                      cube_atlas, cubemap_size, sky_max_mips,
                      specular=0.5, env_fetch=None, ablate: str = "",
-                     cube_pair1=None):
+                     cube_pair1=None, half: bool = False):
     """Base.frag:104-112 / BaseLighting.frag:213-221: IBL reflection.
 
     ``env_fetch(refl_dir, mips) -> (..., >=3)`` overrides the cubemap
     tap — the merged environment table (ops/envtap.py) fetches the
-    reflection, sky and background rows in ONE gather."""
+    reflection, sky and background rows in ONE gather.
+
+    ``half`` (config.reflection_half): run the environment GATHER on a
+    2x-subsampled pixel grid and bilinearly upsample the radiance — the
+    gather is ~all of the reflection cost and rough reflections (cube
+    mip >= 1) are low-frequency. BRDF/occlusion math stays full-res."""
     spec = pbr.compute_f0(specular, base_color, metallic)
     brdf = pbr.env_brdf_approx(spec, roughness, ndotv)
     r = pbr.refract(v, pbr.normalize(n), 1.0 / 1.52)
     mips = pbr.reflection_mip_from_roughness(
         roughness, jnp.asarray(sky_max_mips, jnp.float32)
     )
+    h_full = w_full = None
+    if half and r.ndim == 3 and env_fetch is None:
+        h_full, w_full = r.shape[:2]
+        r = r[::2, ::2]
+        mips = mips[::2, ::2]
     if ablate and "reflgather" in ablate:
         # DIAGNOSTIC: constant env radiance (keeps every BRDF/occlusion
         # op, removes only the cubemap/env-table gather) — splits the
         # norefl ablation into its gather and math halves.
         refl_l = jnp.broadcast_to(
-            jnp.asarray([0.3, 0.4, 0.5], jnp.float32), base_color.shape
+            jnp.asarray([0.3, 0.4, 0.5], jnp.float32), r.shape[:-1] + (3,)
         ) + mips[..., None] * 1e-9 + r[..., :3] * 1e-9
     elif env_fetch is not None:
         refl_l = env_fetch(r, mips)[..., :3] * 10.0
@@ -304,7 +366,7 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
         # +13.6 ms as a fusion barrier even when never executed
         # (BASELINE.md round-3h). Shinier scenes keep the full-res quad
         # path below.
-        zero_i = jnp.zeros(roughness.shape, jnp.int32)
+        zero_i = jnp.zeros(mips.shape, jnp.int32)
         refl_l = sample_cubemap_lod(
             cube_pair1, zero_i, r, mips - 1.0, cubemap_size // 2,
             quad=False,
@@ -316,9 +378,11 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
         # gathers (gather cost is per op below ~104 ch; row count and
         # locality are irrelevant — BASELINE.md round-3 gather curve).
         refl_l = sample_cubemap_lod(
-            cube_atlas, jnp.zeros(roughness.shape, jnp.int32), r, mips,
+            cube_atlas, jnp.zeros(mips.shape, jnp.int32), r, mips,
             cubemap_size, quad=cube_atlas.shape[-1] % 13 != 0,
         )[..., :3] * 10.0
+    if h_full is not None:
+        refl_l = _upsample2(_upsample2(refl_l, 0, h_full), 1, w_full)
     refl_v = pbr.specular_occlusion(ndotv, roughness * roughness, ao)
     return refl_l * refl_v[..., None] * brdf
 
@@ -327,6 +391,7 @@ def shade_pixels(
     base_color, metallic, roughness, normal, ao, world_pos,
     shadow_factor, view, cube_atlas, cubemap_size, tiled_points=None,
     env_fetch=None, ablate: str = "", cube_pair1=None,
+    refl_half: bool = False,
 ):
     """Full lighting shared by forward and deferred paths.
 
@@ -369,7 +434,7 @@ def shade_pixels(
             base_color, metallic, roughness, n, v, ndotv, ao,
             cube_atlas, cubemap_size, view.lights_count[3],
             specular=specular, env_fetch=env_fetch, ablate=ablate,
-            cube_pair1=cube_pair1,
+            cube_pair1=cube_pair1, half=refl_half,
         )
     return {
         "direct": direct,

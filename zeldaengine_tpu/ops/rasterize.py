@@ -39,6 +39,13 @@ class TriangleSetup(NamedTuple):
     zc: jnp.ndarray  # (T, 3) depth coefficients: depth = dot(u, zc)
     valid: jnp.ndarray  # (T,) bool — in-front, non-degenerate, correctly wound
     bbox: jnp.ndarray  # (T, 4) float32 pixel bbox (x0, y0, x1, y1), conservative
+    # Conservative per-triangle MINIMUM NDC depth (0 when any vertex w is
+    # near/behind zero — the projection is unbounded). Interpolated depth
+    # is a convex combination of the vertices' z/w (weights c_i * w_i sum
+    # to 1 and are >= 0 inside when all w > 0), so min_i(z_i/w_i) bounds
+    # every covered pixel's depth from below. Drives front-to-back pair
+    # ordering + per-tile occlusion early-out in the Pallas rasterizer.
+    zmin: jnp.ndarray | None = None  # (T,) float32 in [0, 1]
 
 
 def triangle_setup(
@@ -147,7 +154,16 @@ def triangle_setup(
     # Zero-area bbox for culled triangles so binning skips them.
     bbox = jnp.where(keep[..., None], bbox, 0.0)
 
-    return TriangleSetup(edge=edge, zc=zc, valid=keep, bbox=bbox)
+    # Conservative minimum NDC depth (see TriangleSetup.zmin): covered
+    # depth = sum(c_i w_i * z_i/w_i) with nonneg weights summing to 1
+    # when all w > 0, so min(z_i/w_i) bounds it below; near-plane
+    # crossers get 0. A positive depth_bias only raises depth, so the
+    # unbiased bound stays valid.
+    z_over_w = z / jnp.where(jnp.abs(w) > 1e-6, w, 1.0)
+    zmin = jnp.where(w_ok, jnp.min(z_over_w, axis=-1), 0.0)
+    zmin = jnp.clip(zmin, 0.0, 1.0)
+
+    return TriangleSetup(edge=edge, zc=zc, valid=keep, bbox=bbox, zmin=zmin)
 
 
 def _pixel_grid(height: int, width: int, x0=0, y0=0):

@@ -144,6 +144,7 @@ def compact_setup(
         zc=g(setup.zc),
         valid=g(setup.valid, dead_val=False),
         bbox=g(setup.bbox),
+        zmin=None if setup.zmin is None else g(setup.zmin),
     )
     extra2 = None if extra is None else g(extra)
     return setup2, extra2, idx, overflow
@@ -169,6 +170,7 @@ def build_pairs(
     y0_tiles=0,
     extra: jnp.ndarray | None = None,
     max_pairs: int | None = None,
+    sort_z: bool = False,
 ) -> PairedTriangles:
     """Compact triangles into exact per-tile pair lists (TPU binning).
 
@@ -181,6 +183,16 @@ def build_pairs(
     appended to the 12 rasterization rows (record rows 12..12+E-1,
     rounded up to a multiple of 16 rows). The fused raster+interpolate
     kernel uses E=34: material-combo id + 3 corners x 11 interpolants.
+
+    ``sort_z``: order each bin's pairs FRONT TO BACK by the triangle's
+    conservative ``setup.zmin`` (quantized into the low sort-key bits)
+    instead of by triangle id. Coverage and depths are unchanged; only
+    exact-depth ties between DIFFERENT triangles can resolve to another
+    winner (the kernel keeps the lowest PAIR id among minimum-depth
+    candidates). The payoff is the fused kernel's phase 2: winners are
+    the nearest surfaces, so the per-tile winner windows collapse to the
+    first slice(s) of each range instead of spanning it (BASELINE.md
+    round 4).
     """
     edge = setup.edge
     t = edge.shape[0]
@@ -268,9 +280,25 @@ def build_pairs(
     tri_ids = jnp.pad(tri_ids.reshape(-1), ((0, pad)), constant_values=t)
     tri_ids = jnp.where(keys >= dead, t, tri_ids)
 
-    skey, stri = jax.lax.sort(
-        (keys.astype(jnp.int32), tri_ids), num_keys=1
-    )
+    n_bins = n_tiles + n_super + 2  # dense + super + global + dead
+    zbits = 0
+    if sort_z and setup.zmin is not None:
+        # Front-to-back within each bin: key = bin << zbits | quantized
+        # zmin. The bin ids stay exact in f32 (< 2^24); the composite is
+        # assembled in int32, sized so (n_bins << zbits) < 2^31.
+        zbits = min(16, 30 - max(n_bins - 1, 1).bit_length())
+        zscale = float((1 << zbits) - 1)
+        zq = jnp.clip(
+            jnp.floor(setup.zmin * zscale), 0.0, zscale
+        ).astype(jnp.int32)
+        zq = jnp.pad(
+            jnp.tile(zq[:, None], (1, expand)).reshape(-1), ((0, pad))
+        )
+        keys_i = (keys.astype(jnp.int32) << zbits) | zq
+    else:
+        keys_i = keys.astype(jnp.int32)
+
+    skey, stri = jax.lax.sort((keys_i, tri_ids), num_keys=1)
 
     # Live-pair capacity (VERDICT r2 #2): dead pairs sort LAST, so the
     # live pairs occupy a prefix of the sorted stream — slicing to
@@ -283,7 +311,7 @@ def build_pairs(
     if max_pairs is not None and max_pairs < skey.shape[0]:
         cap = max(128, (max_pairs // 128) * 128)
         live_end = jnp.searchsorted(
-            skey, jnp.int32(n_tiles + n_super + 1), side="left"
+            skey, jnp.int32((n_tiles + n_super + 1) << zbits), side="left"
         ).astype(jnp.int32)
         overflow = jnp.maximum(live_end - cap, 0)
         skey = skey[:cap]
@@ -291,9 +319,10 @@ def build_pairs(
 
     # Per-bin offsets (n_tiles dense + n_super supertile + global + dead)
     # via binary search over the SORTED keys — 0.5k searches of log(P)
-    # instead of a P-element scatter-add histogram.
+    # instead of a P-element scatter-add histogram. Bin b's keys occupy
+    # [b << zbits, (b+1) << zbits) when sort_z packs depth low bits.
     off = jnp.searchsorted(
-        skey, jnp.arange(n_tiles + n_super + 2, dtype=jnp.int32),
+        skey, jnp.arange(n_bins, dtype=jnp.int32) << zbits,
         side="left",
     ).astype(jnp.int32)
     starts = off[:n_tiles]
@@ -590,6 +619,11 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
     lane_f = jax.lax.broadcasted_iota(
         jnp.int32, (1, 128), 1
     ).astype(jnp.float32)
+    n_groups = (tile_h * 128) // plane
+    # Per-visit work stays issued per (p_sub, 128) SUB-BLOCK: a whole-
+    # plane (1024, 128) variant keeps ~7 live (plane, 128) temporaries =
+    # ~900 vregs and spills the vector register file — measured +4.4 ms
+    # on phase 1 at the demo scale (BASELINE.md round 4).
     lin = jax.lax.broadcasted_iota(jnp.int32, (p_sub, 1), 0)
     colx = jnp.mod(lin, tile_w)
     pxs = [
@@ -599,7 +633,6 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
     py0 = (base_y + lin // tile_w).astype(jnp.float32) + 0.5
     pys = [py0 + float(sb * sub_rows) for sb in range(n_sub)]
 
-    n_groups = (tile_h * 128) // plane
     for g in range(n_groups):
         acc_d_ref[g] = jnp.full((plane, 128), NO_HIT, jnp.float32)
         if not depth_only:
@@ -617,32 +650,33 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
         if not depth_only:
             pid_f = c_base.astype(jnp.float32) + lane_f
 
+        def form(r, px, py):
+            return (
+                px * scratch_ref[slot, r : r + 1, :]
+                + py * scratch_ref[slot, r + 1 : r + 2, :]
+                + scratch_ref[slot, r + 2 : r + 3, :]
+            )
+
+        def eval_cand(px, py):
+            e0 = form(0, px, py)
+            e1 = form(3, px, py)
+            e2 = form(6, px, py)
+            d = (
+                e0 * scratch_ref[slot, 9:10, :]
+                + e1 * scratch_ref[slot, 10:11, :]
+                + e2 * scratch_ref[slot, 11:12, :]
+            )
+            esum = e0 + e1 + e2
+            emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+            inside = (
+                (emin >= 0.0) & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
+            ) & lane_ok
+            return jnp.where(inside, d, NO_HIT)
+
         def col_work(jc):
             px = pxs[jc]
             for sb in range(n_sub):
-                py = pys[sb]
-
-                def form(r):
-                    return (
-                        px * scratch_ref[slot, r : r + 1, :]
-                        + py * scratch_ref[slot, r + 1 : r + 2, :]
-                        + scratch_ref[slot, r + 2 : r + 3, :]
-                    )  # (p_sub, 128)
-
-                e0 = form(0)
-                e1 = form(3)
-                e2 = form(6)
-                d = (
-                    e0 * scratch_ref[slot, 9:10, :]
-                    + e1 * scratch_ref[slot, 10:11, :]
-                    + e2 * scratch_ref[slot, 11:12, :]
-                )
-                esum = e0 + e1 + e2
-                emin = jnp.minimum(jnp.minimum(e0, e1), e2)
-                inside = (
-                    (emin >= 0.0) & (esum > 0.0) & (d >= 0.0) & (d <= 1.0)
-                ) & lane_ok
-                cand = jnp.where(inside, d, NO_HIT)
+                cand = eval_cand(px, pys[sb])
                 g, o = acc_slot(jc, sb)
                 if depth_only:
                     acc_d_ref[g, pl.ds(o, p_sub)] = jnp.minimum(
@@ -1071,12 +1105,21 @@ def _pair_fused_kernel(
         rel = w - c_base
         hit = (w >= lo) & (w < hi) & (rel >= 0) & (rel < 128)
         relc = jnp.clip(rel, 0, 127)
-        for c in _FETCH_ROWS:
-            row = jnp.broadcast_to(
-                scratch_ref[slot, c : c + 1, :], (tile_h, 128)
-            )
-            g = jnp.take_along_axis(row, relc, axis=1)
-            acc_ref[c] = jnp.where(hit, g, acc_ref[c])
+
+        # Winner-existence guard: most walked slices contain no winner
+        # (a tile's visible surfaces span few slices, but the shrink
+        # window must cover them all — near grass AND the far terrain
+        # seen between blades land at opposite ends of the range). The
+        # 41-row gather block is the cost; skip it when this slice won
+        # nothing (one cheap any-reduce per visit).
+        @pl.when(jnp.any(hit))
+        def _fetch():
+            for c in _FETCH_ROWS:
+                row = jnp.broadcast_to(
+                    scratch_ref[slot, c : c + 1, :], (tile_h, 128)
+                )
+                g = jnp.take_along_axis(row, relc, axis=1)
+                acc_ref[c] = jnp.where(hit, g, acc_ref[c])
         return carry
 
     walk(ranges2, attr_body)

@@ -106,7 +106,8 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
         setup, _, cidx, covf = _maybe_compact(setup, None, config)
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                             expand=config.pair_expand, y0_tiles=y0_tiles,
-                            max_pairs=config.max_pairs)
+                            max_pairs=config.max_pairs,
+                            sort_z=config.raster_zsort)
         if cidx is not None:
             pairs = remap_pair_tri(pairs, cidx, orig_t)
         depth, tid = rasterize_pairs(
@@ -165,7 +166,8 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
     setup, extra, cidx, covf = _maybe_compact(setup, extra, config)
     pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                         expand=config.pair_expand, y0_tiles=y0_tiles,
-                        extra=extra, max_pairs=config.max_pairs)
+                        extra=extra, max_pairs=config.max_pairs,
+                        sort_z=config.raster_zsort)
     if cidx is not None:
         pairs = remap_pair_tri(pairs, cidx, orig_t)
     depth, tid, planes = rasterize_pairs_fused(
@@ -510,6 +512,7 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
             shadow_factor, view, scene.cube_atlas, config.cubemap_size,
             tiled_points=tiled_points, env_fetch=env_fetch,
             ablate=config.ablate, cube_pair1=scene.cube_pair1,
+            refl_half=config.reflection_half,
         )
     final = gamma_correct(lit["final"] * mask[..., None])
 
@@ -571,7 +574,7 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
         attrs.ao, attrs.world_pos, shadow_factor, view,
         scene.cube_atlas, config.cubemap_size, tiled_points=tiled_points,
         env_fetch=env_fetch, ablate=config.ablate,
-        cube_pair1=scene.cube_pair1,
+        cube_pair1=scene.cube_pair1, refl_half=config.reflection_half,
     )
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(
@@ -750,21 +753,31 @@ def render_rows(
     # 512-light capacity; UNROLL-sized tables shade without culling).
     # Sharded row bands cull over band-local tiles (y0 offset), so the
     # multi-chip path runs the same tiled feature set as single-chip.
-    tiled_points = None
-    light_drops = None
-    if (
+    use_tiled = (
         view.point_lights.shape[0] >= config.tiled_lights_min
         and width % config.light_tile_w == 0
-    ):
+    )
+    light_drops = jnp.int32(0) if use_tiled else None
+
+    def make_tiled(world_pos=None, covered=None):
+        """Per-pass tiled light lists, depth-bounded by that pass's own
+        visible surface (VERDICT r3 #6): the deferred resolve culls
+        against the GBuffer positions, the forward pass against its own
+        attributes — an occluded light stops eating k_max slots."""
+        nonlocal light_drops
+        if not use_tiled:
+            return None
         from zeldaengine_tpu.ops.lighting import cull_point_lights_tiled
 
-        tile_idx, tile_cnt, light_drops = cull_point_lights_tiled(
+        tile_idx, tile_cnt, drops = cull_point_lights_tiled(
             view.point_lights, view.lights_count[1], view, width, height,
             config.light_tile_h, config.light_tile_w,
             config.max_tile_lights, y0=y0, vp_h=config.height,
+            world_pos=world_pos, covered=covered,
         )
-        tiled_points = (tile_idx, tile_cnt, config.light_tile_h,
-                        config.light_tile_w)
+        light_drops = light_drops + drops
+        return (tile_idx, tile_cnt, config.light_tile_h,
+                config.light_tile_w)
 
     # ---- vertex stage (Base.vert / BaseInstanced.vert / Shadowmap*.vert)
     world = apply_mat4_point(view.model, scene.pair_pos)
@@ -907,7 +920,8 @@ def render_rows(
         # ---- 4a. deferred lighting (fullscreen, no depth test)
         color = resolve_lighting(
             gbuf, shadowmap, scene, view, config,
-            enable_vis=full_frame, tiled_points=tiled_points,
+            enable_vis=full_frame,
+            tiled_points=make_tiled(attrs_d.world_pos, attrs_d.covered),
             env_fetch=make_env_fetch(attrs_d.covered, env_cell),
         )
         tid_d_out = tid_d
@@ -949,7 +963,7 @@ def render_rows(
         fwd_env_cell = {}
         fwd_color = forward_shade(
             attrs_f, shadowmap, scene, view, config,
-            tiled_points=tiled_points,
+            tiled_points=make_tiled(attrs_f.world_pos, attrs_f.covered),
             env_fetch=make_env_fetch(attrs_f.covered, fwd_env_cell),
         )
         color = jnp.where(fwd_mask[..., None], fwd_color, color)
