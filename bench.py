@@ -355,14 +355,13 @@ def main() -> None:
         # reflection (one 39-ch gather; sky/bg ride the windowed VMEM
         # taps — beats the merged 208-ch env row by ~8 ms), live-pair
         # caps sized to the demo's worst frame.
-        # reflection_half: the demo's minimum material roughness is 1.0
-        # (every reflection reads cube mip 7 — fully blurred), so the
-        # half-res gather + bilinear upsample is visually lossless here.
+        # reflection_half measured +5.2 ms at this scale (the 2x bilinear
+        # upsample's row/lane interleave relayouts outweigh the halved
+        # gather — BASELINE.md round 4): rejected from the bundle.
         config = EngineConfig(width=1920, height=1080,
                               tile_h=64, tile_w=32,
                               max_pairs=384 * 1024,
-                              max_pairs_shadow=256 * 1024,
-                              reflection_half=True)
+                              max_pairs_shadow=256 * 1024)
         t0 = time.time()
         scene, meta, world = build_demo_scene(config, grass=args.grass,
                                               rocks=args.rocks)

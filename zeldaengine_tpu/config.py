@@ -114,8 +114,10 @@ class EngineConfig:
     # Reflection IBL gather at half resolution + bilinear upsample (the
     # gather is ~all of the reflection cost and rough reflections are
     # low-frequency). Off by default: changes output (not bit-exact to
-    # the full-res tap); the bench bundle enables it for scenes whose
-    # minimum roughness keeps every reflection at cube mip >= 1.
+    # the full-res tap) AND measured a net +5.2 ms at the 1080p demo —
+    # the 2x upsample's row/lane interleave relayouts cost more than the
+    # halved gather saves (BASELINE.md round 4). Kept as an option for
+    # gather-heavier scenes (real roughness textures, big cube tables).
     reflection_half: bool = False
     # PCF backend: "auto"/"packed" = neighborhood-packed table + one flat
     # gather per pixel (exact tap-for-tap everywhere); "pallas" = the

@@ -124,6 +124,18 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
     return d, t, jnp.int32(0)
 
 
+def _band_mask_setup(setup, y0, rows_px: int):
+    """Restrict a TriangleSetup to triangles whose bbox intersects pixel
+    rows [y0, y0+rows_px) — the multi-chip prep-sharding mask (VERDICT
+    r3 #7): with ``config.compact_tris`` set, each device's key sort and
+    record gather then track its BAND's triangle count (~1/N) instead of
+    replicating the full-scene prep. build_pairs applies the same band
+    test to keys, so this only tightens ``valid`` earlier."""
+    y0f = jnp.asarray(y0, jnp.float32)
+    band = (setup.bbox[:, 3] > y0f) & (setup.bbox[:, 1] < y0f + rows_px)
+    return setup._replace(valid=setup.valid & band)
+
+
 def _maybe_compact(setup, extra, config: EngineConfig):
     """Apply live-triangle compaction when ``config.compact_tris`` is
     set (meshlet-scale scenes: prep cost tracks the live count instead
@@ -822,7 +834,8 @@ def render_rows(
         if shadow_rows is not None:
             sy0, s_rows, gather_fn = shadow_rows
             shadow_band, ovf_sh = _raster_depth(
-                setup_sh, config.shadowmap_dim, config, y0=sy0,
+                _band_mask_setup(setup_sh, sy0, s_rows),
+                config.shadowmap_dim, config, y0=sy0,
                 band=True, rows=s_rows,
             )
             shadowmap = gather_fn(shadow_band)
@@ -897,6 +910,8 @@ def render_rows(
             two_sided=scene.tri_two_sided,
             valid_mask=tri_valid & scene.tri_deferred,
         )
+        if not full_frame:
+            setup = _band_mask_setup(setup, y0, height)
         if use_fused:
             extra = _fused_extra(scene, setup, world, n_world)
             depth_d, tid_d, planes_d, ovf_d = _raster_vis_fused(
@@ -938,6 +953,8 @@ def render_rows(
             two_sided=scene.tri_two_sided,
             valid_mask=tri_valid & (~scene.tri_deferred),
         )
+        if not full_frame:
+            setup_f = _band_mask_setup(setup_f, y0, height)
         if use_fused:
             extra_f = _fused_extra(scene, setup_f, world, n_world)
             depth, tid_f, planes_f, ovf_f = _raster_vis_fused(
