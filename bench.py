@@ -236,13 +236,23 @@ def main() -> None:
         # sphere meshlets face away) instead of the 1M-tri pool.
         # max_pairs: the record gather runs over live pairs only (the
         # sized indirect-command-buffer analogue).
+        # Round-4 capacity audit: the shadow pass must not inherit the
+        # camera cull's compact cap (it silently dropped ~half the 1.03M
+        # casters in rounds 2-3); it gets its own capacity, sized after
+        # the light-frustum + closed-mesh cone cull (the spheres are
+        # watertight, so shadow_cone_cull is exact here).
         config = EngineConfig(width=1024, height=1024, shadowmap_dim=512,
                               texture_size=128, cubemap_size=64,
                               background_size=128, max_point_lights=8,
                               pair_expand=4,
+                              # shadow casters are tiny in the 512px
+                              # light view too: expand=2 measured -3 ms
+                              pair_expand_shadow=2,
                               compact_tris=512 * 1024,
+                              compact_tris_shadow=640 * 1024,
+                              shadow_cone_cull=True,
                               max_pairs=512 * 1024,
-                              max_pairs_shadow=256 * 1024)
+                              max_pairs_shadow=640 * 1024)
         from zeldaengine_tpu.meshlet import build_meshlets
         from zeldaengine_tpu.scene.mesh import make_sphere
 

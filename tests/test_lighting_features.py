@@ -100,3 +100,24 @@ def test_identity_overrides_are_noop():
     base = _render(_world(lights=[_sun()]))
     same = _render(_world(lights=[_sun()]), overrides=[1.0, 1.0, 1.0, 1.0])
     np.testing.assert_allclose(base, same, atol=1e-6)
+
+
+def test_cube_const_reflection_bit_identical():
+    """Constant-lod reflection (GpuScene.cube_const, scenes whose min
+    roughness is exactly 1.0): the per-face 2x2 select path must equal
+    the cube_pair1 gather path bit-for-bit."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.config import TEST_CONFIG
+    from zeldaengine_tpu.passes.frame import render_rows
+    from zeldaengine_tpu.passes.view import build_view_state
+    from zeldaengine_tpu.scene.demo import build_demo_scene
+
+    cfg = TEST_CONFIG
+    scene, meta, world = build_demo_scene(cfg, grass=30, rocks=4)
+    assert scene.cube_const is not None  # demo materials: roughness 1.0
+    view = build_view_state(world, cfg, time=0.0)
+    img_const, _ = render_rows(scene, view, meta, cfg)
+    img_pair, _ = render_rows(scene._replace(cube_const=None), view, meta,
+                              cfg)
+    assert float(jnp.abs(img_const - img_pair).max()) == 0.0

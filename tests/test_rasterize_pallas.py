@@ -105,7 +105,9 @@ def test_build_pairs_max_pairs_cap(rng):
 
     setup = _random_setup(rng, n=200)
     full = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8)
-    live = int(full.gbounds[1])
+    # Live pair count (bin-aligned streams intersperse dead padding, so
+    # gbounds[1] is an aligned POSITION, not the live count).
+    live = int((np.asarray(full.pair_tri) != 200).sum())
     assert live > 0
     cap_ok = ((live + 255) // 128) * 128
     capped = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
@@ -164,3 +166,63 @@ def test_compact_setup_matches_uncompacted(rng):
     # Too-small cap: deterministic overflow is counted.
     _, _, _, ovf2 = compact_setup(setup, max(8, live // 2))
     assert int(ovf2) == live - max(8, live // 2)
+
+
+def test_early_out_exact_vs_reference(rng):
+    """Occlusion early-out (front-to-back pairs + per-tile stop) must be
+    EXACT: skipped pairs are strictly behind every pixel's current depth
+    (strict-< z test), so depth and winner ids match the jnp reference
+    bit-for-bit at every stride."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.rasterize import (
+        rasterize_depth, rasterize_visibility, triangle_setup)
+    from zeldaengine_tpu.ops.rasterize_pallas import (
+        build_pairs, rasterize_pairs)
+
+    T, H, W = 300, 64, 128
+    v = rng.uniform(-1.2, 1.2, (T, 3, 4)).astype(np.float32)
+    v[..., 3] = rng.uniform(0.5, 3.0, (T, 3)).astype(np.float32)
+    v[..., 2] = rng.uniform(0.0, 1.0, (T, 3)) * v[..., 3]
+    setup = triangle_setup(jnp.asarray(v), W, H)
+    pairs = build_pairs(setup, W, H, 16, 32, expand=8, sort_z=True)
+    d_ref, t_ref = rasterize_visibility(setup, H, W, chunk=64)
+    dref = rasterize_depth(setup, H, W, chunk=64)
+    for stride in (1, 4):
+        d_eo, t_eo = rasterize_pairs(
+            pairs, H, W, tile_h=16, tile_w=32, interpret=True,
+            early_out=True, z_row=12, eo_stride=stride)
+        assert np.array_equal(np.asarray(d_eo), np.asarray(d_ref))
+        assert np.array_equal(np.asarray(t_eo), np.asarray(t_ref))
+        do = rasterize_pairs(
+            pairs, H, W, tile_h=16, tile_w=32, depth_only=True,
+            interpret=True, early_out=True, z_row=12, eo_stride=stride)
+        assert np.array_equal(np.asarray(do), np.asarray(dref))
+
+
+def test_aligned_bins_match_unaligned(rng):
+    """Slice-aligned pair bins (build_pairs align=True, the default)
+    must rasterize identically to the unaligned stream — pad lanes hold
+    the never-record — and every walked bin must start on a 128-pair
+    slice boundary."""
+    from zeldaengine_tpu.ops.rasterize_pallas import (
+        build_pairs,
+        rasterize_pairs,
+    )
+
+    setup = _random_setup(rng, n=300)
+    for kw in ({}, {"sort_z": True}, {"max_pairs": 512}):
+        pa = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
+                         align=True, **kw)
+        pu = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
+                         align=False, **kw)
+        assert int(jnp.max(pa.starts % 128)) == 0
+        assert int(pa.sstarts.shape[0]) == 0 or \
+            int(jnp.max(pa.sstarts % 128)) == 0
+        assert int(pa.gbounds[0] % 128) == 0
+        da, ta = rasterize_pairs(pa, H, W, tile_h=TILE_H, tile_w=TILE_W,
+                                 interpret=True)
+        du, tu = rasterize_pairs(pu, H, W, tile_h=TILE_H, tile_w=TILE_W,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(du))
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tu))

@@ -212,6 +212,13 @@ VARIANTS = {
                   "max_pairs": 384 * 1024,
                   "max_pairs_shadow": 256 * 1024,
                   "tile_h": 64, "tile_w": 32},
+    # Round-4 A/B: slice-aligned pair bins off (build_pairs align).
+    "t64_noalign": {"raster": "fused", "pcf_backend": "vmem",
+                    "_adaptive_caps": True,
+                    "max_pairs": 384 * 1024,
+                    "max_pairs_shadow": 256 * 1024,
+                    "tile_h": 64, "tile_w": 32,
+                    "pair_align": False},
     "t64_pcfnofix": {"raster": "fused", "pcf_backend": "vmem",
                      "_adaptive_caps": True,
                      "max_pairs": 384 * 1024,

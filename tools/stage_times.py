@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--tile_w", type=int, default=0)
     ap.add_argument("--zsort", type=int, default=1,
                     help="front-to-back pair ordering (build_pairs sort_z)")
+    ap.add_argument("--eo", type=int, default=1,
+                    help="occlusion early-out in the pair walks")
     args = ap.parse_args()
 
     import jax
@@ -144,10 +146,20 @@ def main():
                                      extra=extra)
         return s2, e2
 
+    def compact_then_extra(scene, setup, world_p, n_world):
+        # Mirrors frame.py: compact FIRST, then build the 34-col payload
+        # for the cap rows only (round-4 prep fix).
+        if not config.compact_tris:
+            return setup, _fused_extra(scene, setup, world_p, n_world)
+        from zeldaengine_tpu.ops.rasterize_pallas import compact_setup
+
+        s2, _, idx, _ = compact_setup(setup, config.compact_tris)
+        return s2, _fused_extra(scene, setup, world_p, n_world,
+                                tri_idx=idx)
+
     def prep_fn(scene, view, dt):
         setup, world_p, n_world = vertex_setup(scene, view, dt)
-        extra = _fused_extra(scene, setup, world_p, n_world)
-        setup, extra = maybe_compact(setup, extra)
+        setup, extra = compact_then_extra(scene, setup, world_p, n_world)
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                             expand=config.pair_expand, extra=extra,
                             max_pairs=config.max_pairs,
@@ -198,8 +210,8 @@ def main():
         elif name == "kernel":
             def body(scene, view, dt, _=None):
                 setup, world_p, n_world = vertex_setup(scene, view, 0.0)
-                extra = _fused_extra(scene, setup, world_p, n_world)
-                setup, extra = maybe_compact(setup, extra)
+                setup, extra = compact_then_extra(scene, setup, world_p,
+                                                  n_world)
                 pairs = build_pairs(setup, pw, ph, config.tile_h,
                                     config.tile_w,
                                     expand=config.pair_expand, extra=extra,
@@ -207,12 +219,15 @@ def main():
                                     sort_z=bool(args.zsort))
                 # pairs are loop-invariant (hoisted); init_depth carries dt
                 init = jnp.ones((ph, pw), jnp.float32) + dt
+                from zeldaengine_tpu.ops.rasterize_pallas import FUSED_EXTRA
                 d, tid, planes = rasterize_pairs_fused(
                     pairs, ph, pw, init_depth=init,
                     tile_h=config.tile_h, tile_w=config.tile_w,
                     sub_rows=config.sub_rows,
                     texture_size=config.texture_size,
                     winner=args.winner,
+                    early_out=bool(args.eo),
+                    z_row=(12 + FUSED_EXTRA) if args.zsort else -1,
                 )
                 return jnp.sum(d) + jnp.sum(planes[1])
 
@@ -264,7 +279,8 @@ def main():
                 pairs = build_pairs(setup, config.shadowmap_dim,
                                     config.shadowmap_dim, config.tile_h,
                                     config.tile_w,
-                                    expand=config.pair_expand_shadow)
+                                    expand=config.pair_expand_shadow,
+                                    sort_z=bool(args.zsort))
                 init = (jnp.ones((config.shadowmap_dim,
                                   config.shadowmap_dim), jnp.float32)
                         + dt)
@@ -273,6 +289,8 @@ def main():
                     init_depth=init, tile_h=config.tile_h,
                     tile_w=config.tile_w, sub_rows=config.sub_rows,
                     depth_only=True, winner=args.winner,
+                    early_out=bool(args.eo),
+                    z_row=12 if args.zsort else -1,
                 )
                 return jnp.sum(d)
 

@@ -103,6 +103,24 @@ class EngineConfig:
     # deterministic (highest triangle ids dropped) and counted by
     # validation mode.
     compact_tris: int | None = None
+    # Shadow-pass compaction capacity. The SHADOW caster set is NOT the
+    # camera-culled set (geometry behind the camera still casts), so it
+    # must not inherit ``compact_tris`` — at config-4 scale that
+    # silently dropped ~half the 1.03M casters from the map (round-4
+    # audit). None = no shadow compaction.
+    compact_tris_shadow: int | None = None
+    # Light-apex backface-cone cull of meshlets for the SHADOW pass.
+    # Exact only for closed (watertight) meshes — a light-backfacing
+    # surface of an open mesh still blocks light. The light-frustum
+    # test always applies to meshlets (exact for any geometry).
+    shadow_cone_cull: bool = False
+    # Slice-aligned pair bins: every bin starts at a 128-pair slice
+    # boundary so neighboring tiles stop double-walking shared boundary
+    # slices (~1 visit/bin). Exact (pad lanes hold the never-record) —
+    # but OFF by default: the repositioning costs two extra ~P-needle
+    # gathers in prep (+20 ms at demo scale on TPU, vs ~3 ms of skipped
+    # visits — BASELINE.md round 4). Kept for the ledger + tests.
+    pair_align: bool = False
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8
@@ -111,6 +129,16 @@ class EngineConfig:
     # phase-2 winner windows (~10 ms of the round-4 demo kernel). Only
     # exact-depth ties between different triangles can change winner.
     raster_zsort: bool = True
+    # Occlusion early-out in the pair walks (needs raster_zsort): every
+    # ``early_out_stride`` visits a tile checks whether every pixel is
+    # already strictly closer than any REMAINING pair's conservative
+    # zmin and skips the rest of the range. Exact (strict-< z test) and
+    # covered by equality tests — but OFF by default: measured a net
+    # LOSS everywhere tried (demo ranges are 2-3 slices deep; config-4
+    # tiles never fully cover, so the per-test cross-lane reduction
+    # (+5.7 ms at c4) buys almost no skipped visits — BASELINE.md r4).
+    raster_early_out: bool = False
+    early_out_stride: int = 4
     # Reflection IBL gather at half resolution + bilinear upsample (the
     # gather is ~all of the reflection cost and rough reflections are
     # low-frequency). Off by default: changes output (not bit-exact to

@@ -60,10 +60,16 @@ def meshlet_cull(
     view_proj: jnp.ndarray,
     camera_pos: jnp.ndarray,
     model: jnp.ndarray | None = None,
+    cone: bool = True,
 ) -> jnp.ndarray:
     """Frustum + cone cull. Returns visible mask (M,).
 
     ``model`` (4,4) transforms bounds to world space (localToWorld).
+    ``cone=False`` keeps the frustum test only — the shadow pass uses it
+    with the LIGHT frustum (always exact: casters outside the shadow
+    frustum cannot write the map) and adds the light-apex cone test only
+    when the scene opts in (exact for closed meshes: a light-backfacing
+    surface of a watertight mesh is never the nearest light-space depth).
     """
     centers = meshlet_records[:, 4:7]
     radii = meshlet_records[:, 7]
@@ -76,7 +82,8 @@ def meshlet_cull(
         radii = radii * scale
     planes = frustum_planes(view_proj)
     vis = frustum_cull_spheres(planes, centers, radii)
-    vis = vis & cone_cull(centers, radii, axis, cutoff, camera_pos)
+    if cone:
+        vis = vis & cone_cull(centers, radii, axis, cutoff, camera_pos)
     return vis
 
 

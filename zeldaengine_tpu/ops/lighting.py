@@ -324,7 +324,8 @@ def _upsample2(a, axis: int, n_out: int):
 def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
                      cube_atlas, cubemap_size, sky_max_mips,
                      specular=0.5, env_fetch=None, ablate: str = "",
-                     cube_pair1=None, half: bool = False):
+                     cube_pair1=None, half: bool = False,
+                     cube_const=None):
     """Base.frag:104-112 / BaseLighting.frag:213-221: IBL reflection.
 
     ``env_fetch(refl_dir, mips) -> (..., >=3)`` overrides the cubemap
@@ -346,6 +347,57 @@ def reflection_color(base_color, metallic, roughness, n, v, ndotv, ao,
         h_full, w_full = r.shape[:2]
         r = r[::2, ::2]
         mips = mips[::2, ::2]
+    if cube_const is not None and env_fetch is None and (
+            not (ablate and "reflgather" in ablate)):
+        # Constant-lod tier (scene min roughness == 1.0): the tap the
+        # cube_pair1 path would perform is a bilinear over one fixed
+        # 2x2-texel mip per face — replicate sample_cubemap_lod +
+        # sample_trilinear_pair's exact uv/clamp/lerp math over the
+        # precomputed 6x2x2 table (selects instead of a 2M-index
+        # 39-channel gather; bit-identical, ~5 ms at 1080p).
+        from zeldaengine_tpu.ops.texture import cube_direction_to_face_uv
+
+        face, uv = cube_direction_to_face_uv(r)
+        uv = jnp.clip(uv, 0.25, 0.75)  # sample_cubemap_lod half-texel
+        u = uv[..., 0] * 2.0 - 0.5
+        vv = uv[..., 1] * 2.0 - 0.5
+        x0 = jnp.clip(jnp.floor(u), 0.0, 1.0)
+        y0 = jnp.clip(jnp.floor(vv), 0.0, 1.0)
+        fu = jnp.clip(u - x0, 0.0, 1.0)[..., None]
+        fv = jnp.clip(vv - y0, 0.0, 1.0)[..., None]
+        x0b = (x0 >= 0.5)[..., None]
+        y0b = (y0 >= 0.5)[..., None]
+        true_b = jnp.ones_like(x0b)
+
+        def corner(dy, dx):
+            # Edge-clamped corner (min(y0+dy,1), min(x0+dx,1)) selected
+            # from the per-face 2x2 table — the same clamping the pair
+            # atlas bakes into its neighbor groups.
+            yi1 = true_b if dy else y0b
+            xi1 = true_b if dx else x0b
+            out = None
+            for f in range(6):
+                tab = cube_const[f]  # (2, 2, 3)
+                v_ = jnp.where(
+                    yi1,
+                    jnp.where(xi1, tab[1, 1], tab[1, 0]),
+                    jnp.where(xi1, tab[0, 1], tab[0, 0]),
+                )
+                out = v_ if out is None else jnp.where(
+                    (face == f)[..., None], v_, out)
+            return out
+
+        t00 = corner(0, 0)
+        t10 = corner(0, 1)
+        t01 = corner(1, 0)
+        t11 = corner(1, 1)
+        lo_top = t00 * (1 - fu) + t10 * fu
+        lo_bot = t01 * (1 - fu) + t11 * fu
+        refl_l = (lo_top * (1 - fv) + lo_bot * fv) * 10.0
+        if h_full is not None:
+            refl_l = _upsample2(_upsample2(refl_l, 0, h_full), 1, w_full)
+        refl_v = pbr.specular_occlusion(ndotv, roughness * roughness, ao)
+        return refl_l * refl_v[..., None] * brdf
     if ablate and "reflgather" in ablate:
         # DIAGNOSTIC: constant env radiance (keeps every BRDF/occlusion
         # op, removes only the cubemap/env-table gather) — splits the
@@ -391,7 +443,7 @@ def shade_pixels(
     base_color, metallic, roughness, normal, ao, world_pos,
     shadow_factor, view, cube_atlas, cubemap_size, tiled_points=None,
     env_fetch=None, ablate: str = "", cube_pair1=None,
-    refl_half: bool = False,
+    refl_half: bool = False, cube_const=None,
 ):
     """Full lighting shared by forward and deferred paths.
 
@@ -435,6 +487,7 @@ def shade_pixels(
             cube_atlas, cubemap_size, view.lights_count[3],
             specular=specular, env_fetch=env_fetch, ablate=ablate,
             cube_pair1=cube_pair1, half=refl_half,
+            cube_const=cube_const,
         )
     return {
         "direct": direct,

@@ -171,6 +171,7 @@ def build_pairs(
     extra: jnp.ndarray | None = None,
     max_pairs: int | None = None,
     sort_z: bool = False,
+    align: bool = False,
 ) -> PairedTriangles:
     """Compact triangles into exact per-tile pair lists (TPU binning).
 
@@ -193,6 +194,18 @@ def build_pairs(
     the nearest surfaces, so the per-tile winner windows collapse to the
     first slice(s) of each range instead of spanning it (BASELINE.md
     round 4).
+
+    ``align``: start every bin's pair range at a 128-slice boundary
+    (pad positions hold the dead never-record). Unaligned, each bin's
+    first/last slice is SHARED with its key-space neighbor, so both
+    tiles DMA + walk it (~1 extra visit per bin, ~13% of demo visits);
+    aligned, a bin walks exactly ceil(len/128) slices. Exact — pad
+    lanes evaluate the never-record (no coverage). OFF by default: the
+    repositioning needs two extra ~P-needle gathers (bin-table lookup +
+    stri remap) plus 128*n_bins extra record-gather rows, measured
+    +20 ms of prep at demo scale against ~3 ms of skipped visits
+    (BASELINE.md round 4) — TPU gathers price per needle, so any
+    per-pair stream rewrite must save MORE than a gather's worth.
     """
     edge = setup.edge
     t = edge.shape[0]
@@ -200,15 +213,34 @@ def build_pairs(
     n_ty = -(-height // tile_h)
     n_tiles = n_ty * n_tx
     y0f = jnp.asarray(y0_tiles, jnp.float32)
+    # Supertile grid + the z sort-key bit budget (all static).
+    super_w = _super_w(tile_w)
+    n_sx = -(-n_tx // super_w)
+    super_h = _super_h(tile_h)
+    n_sy = -(-n_ty // super_h)
+    n_super = n_sy * n_sx
+    n_bins = n_tiles + n_super + 2  # dense + super + global + dead
+    has_z = 1 if (sort_z and setup.zmin is not None) else 0
+    # Front-to-back key low bits: (n_bins << zbits) must stay < 2^31.
+    zbits = min(16, 30 - max(n_bins - 1, 1).bit_length()) if has_z else 0
+    zscale = float((1 << zbits) - 1) if has_z else 1.0
 
     n_extra = 0 if extra is None else extra.shape[1]
-    rec_rows = max(16, ((12 + n_extra + 15) // 16) * 16)
+    rec_rows = max(16, ((12 + n_extra + has_z + 15) // 16) * 16)
     never = jnp.zeros((rec_rows,), jnp.float32).at[2].set(-1.0) \
         .at[5].set(-1.0).at[8].set(-1.0)
     cols = [edge.reshape(t, 9), setup.zc]
     if extra is not None:
         cols.append(extra.astype(jnp.float32))
-    pad_cols = rec_rows - 12 - n_extra
+    if has_z:
+        # Record row 12+n_extra carries the triangle's SORT-BUCKET floor
+        # (quantized zmin): within a z-sorted bin, every later pair's
+        # true depth is >= this slice's max bucket value — the kernel's
+        # occlusion early-out bound (rasterize_pairs z_row/early_out).
+        zq_val = jnp.floor(
+            jnp.clip(setup.zmin, 0.0, 1.0) * zscale) / zscale
+        cols.append(zq_val[:, None])
+    pad_cols = rec_rows - 12 - n_extra - has_z
     if pad_cols:
         cols.append(jnp.zeros((t, pad_cols), jnp.float32))
     rec = jnp.concatenate(cols, axis=1)
@@ -238,11 +270,6 @@ def build_pairs(
     ncov = jnp.where(live, nx * ny, 0.0)
 
     # Supertile ranges (two-level binning; see SUPER_* above).
-    super_w = _super_w(tile_w)
-    n_sx = -(-n_tx // super_w)
-    super_h = _super_h(tile_h)
-    n_sy = -(-n_ty // super_h)
-    n_super = n_sy * n_sx
     sx0 = jnp.floor(tx0 / super_w)
     sy0 = jnp.floor(ty0 / super_h)
     sx1 = jnp.floor(tx1 / super_w)
@@ -280,14 +307,10 @@ def build_pairs(
     tri_ids = jnp.pad(tri_ids.reshape(-1), ((0, pad)), constant_values=t)
     tri_ids = jnp.where(keys >= dead, t, tri_ids)
 
-    n_bins = n_tiles + n_super + 2  # dense + super + global + dead
-    zbits = 0
-    if sort_z and setup.zmin is not None:
+    if has_z:
         # Front-to-back within each bin: key = bin << zbits | quantized
         # zmin. The bin ids stay exact in f32 (< 2^24); the composite is
         # assembled in int32, sized so (n_bins << zbits) < 2^31.
-        zbits = min(16, 30 - max(n_bins - 1, 1).bit_length())
-        zscale = float((1 << zbits) - 1)
         zq = jnp.clip(
             jnp.floor(setup.zmin * zscale), 0.0, zscale
         ).astype(jnp.int32)
@@ -325,11 +348,47 @@ def build_pairs(
         skey, jnp.arange(n_bins, dtype=jnp.int32) << zbits,
         side="left",
     ).astype(jnp.int32)
-    starts = off[:n_tiles]
-    ends = off[1 : n_tiles + 1]
-    sstarts = off[n_tiles : n_tiles + n_super]
-    sends = off[n_tiles + 1 : n_tiles + n_super + 1]
-    gbounds = off[n_tiles + n_super : n_tiles + n_super + 2]
+    if align:
+        # Reposition every walked bin (dense + super + global) to a
+        # 128-slice boundary. Formulated as a GATHER over the aligned
+        # positions (TPU-friendly): output j belongs to bin b_j =
+        # searchsorted(aoff, j) - 1 and reads source off[b_j] + (j -
+        # aoff[b_j]); tail positions past the bin's length hold the
+        # dead id t (the never-record — no coverage, exact).
+        n_walk = n_tiles + n_super + 1
+        p0 = stri.shape[0]
+        lens = off[1 : n_walk + 1] - off[:n_walk]
+        # The dead bin has no off[n_walk + 1]; global's end IS
+        # off[n_walk] (dead start), already covered above.
+        aoff = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(((lens + 127) // 128) * 128, dtype=jnp.int32),
+        ])
+        total = p0 + 128 * n_walk  # static upper bound, slice-aligned
+        j = jnp.arange(total, dtype=jnp.int32)
+        # b_j = (count of bin starts <= j) - 1, via a tiny scatter-add
+        # + cumsum — a 524k-needle searchsorted measured ~60 ms here;
+        # this formulation is ~free. Coincident starts (empty bins)
+        # resolve to the LAST bin at that position, which is the one
+        # that owns the positions.
+        ind = jnp.zeros((total,), jnp.int32).at[aoff[:n_walk]].add(
+            1, mode="drop")
+        b_j = jnp.clip(jnp.cumsum(ind) - 1, 0, n_walk - 1)
+        rel = j - aoff[b_j]
+        src = jnp.minimum(off[b_j] + rel, p0 - 1)
+        stri = jnp.where(rel < lens[b_j], stri[src], t)
+        starts = aoff[:n_tiles]
+        ends = starts + lens[:n_tiles]
+        sstarts = aoff[n_tiles : n_tiles + n_super]
+        sends = sstarts + lens[n_tiles : n_tiles + n_super]
+        g0 = aoff[n_tiles + n_super]
+        gbounds = jnp.stack([g0, g0 + lens[n_tiles + n_super]])
+    else:
+        starts = off[:n_tiles]
+        ends = off[1 : n_tiles + 1]
+        sstarts = off[n_tiles : n_tiles + n_super]
+        sends = off[n_tiles + 1 : n_tiles + n_super + 1]
+        gbounds = off[n_tiles + n_super : n_tiles + n_super + 2]
 
     pair_rec = rec16[stri]  # (P, rec_rows)
     n_slices = pair_rec.shape[0] // 128
@@ -536,6 +595,7 @@ def _pair_kernel(
     sem_ref,
     acc_d_ref,
     acc_t_ref,
+    stop_ref,
     *,
     tile_h: int,
     tile_w: int,
@@ -544,6 +604,9 @@ def _pair_kernel(
     depth_only: bool,
     winner: str,
     cols: int = 1,
+    early_out: bool = False,
+    z_row: int = -1,
+    eo_stride: int = 4,
 ):
     t = pl.program_id(0)
 
@@ -573,7 +636,8 @@ def _pair_kernel(
         walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x, base_y,
         ranges, acc_d_ref, acc_t_ref, tile_h=tile_h, tile_w=tile_w,
         sub_rows=sub_rows, depth_only=depth_only, winner=winner,
-        cols=cols,
+        cols=cols, stop_ref=stop_ref if early_out else None,
+        z_row=z_row, eo_stride=eo_stride,
     )
 
 
@@ -581,7 +645,8 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
                              tid_ref, base_x, base_y, ranges, acc_d_ref,
                              acc_t_ref, *, tile_h: int, tile_w: int,
                              sub_rows: int, depth_only: bool,
-                             cols: int = 1):
+                             cols: int = 1, stop_ref=None,
+                             z_row: int = -1, eo_stride: int = 4):
     """Full-width accumulator walk: per-visit state is the whole
     (p_sub, 128) candidate plane — ``acc_d = min(acc_d, cand)`` (+ a
     compare-select pid plane when tracking winners) — and the cross-LANE
@@ -642,6 +707,33 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
         rb = (jc * n_sub + sb) * pr
         return rb // gr, (rb % gr) * 128
 
+    # Occlusion early-out (front-to-back pairs only): every ``eo_stride``
+    # visits, if ALL of the range's pixels already hold a depth strictly
+    # below the slice's max z-bucket (record row z_row — a lower bound on
+    # every remaining pair's depth in the sorted range), the rest of the
+    # range cannot win anywhere and its visits reduce to one scalar
+    # branch. Dense column ranges test only their own planes (a group
+    # mixing columns is a conservative superset).
+    do_eo = stop_ref is not None and z_row >= 0
+
+    def col_groups(jc):
+        lo_g = (jc * n_sub * pr) // gr
+        hi_g = ((jc + 1) * n_sub * pr - 1) // gr
+        return range(lo_g, hi_g + 1)
+
+    def eff_max(groups):
+        """Max over the groups' pixels of min(lane-min(acc), init)."""
+        tm = None
+        for g in groups:
+            lane_min = jnp.min(acc_d_ref[g], axis=1)  # (plane,)
+            init = init_ref[pl.ds(g * gr, gr), :].reshape(plane)
+            m = jnp.max(jnp.minimum(lane_min, init))
+            tm = m if tm is None else jnp.maximum(tm, m)
+        return tm
+
+    if do_eo:
+        stop_ref[0] = -1
+
     def raster_body(slot, c_base, lo, hi, ridx, carry):
         lane_ok = (
             (lane_f >= (lo - c_base).astype(jnp.float32))
@@ -692,16 +784,46 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
                         take, pid_f, acc_t_ref[g, pl.ds(o, p_sub)]
                     )
 
-        if cols == 1:
-            col_work(0)
-        else:
-            for jc in range(cols):
-                @pl.when((ridx == jc) | (ridx >= cols))
-                def _(jc=jc):
-                    col_work(jc)
-        return carry
+        def dispatch():
+            if cols == 1:
+                col_work(0)
+            else:
+                for jc in range(cols):
+                    @pl.when((ridx == jc) | (ridx >= cols))
+                    def _(jc=jc):
+                        col_work(jc)
 
-    walk(ranges, raster_body)
+        if not do_eo:
+            dispatch()
+            return carry
+
+        @pl.when(stop_ref[0] != ridx)
+        def _work():
+            dispatch()
+
+            @pl.when(jax.lax.rem(carry, eo_stride) == eo_stride - 1)
+            def _test():
+                zrow_v = scratch_ref[slot, z_row : z_row + 1, :]
+                zb = jnp.max(jnp.where(lane_ok, zrow_v, -NO_HIT))
+
+                def mark(groups):
+                    @pl.when(eff_max(groups) < zb)
+                    def _():
+                        stop_ref[0] = ridx
+
+                if cols == 1:
+                    mark(range(n_groups))
+                else:
+                    for jc in range(cols):
+                        @pl.when(ridx == jc)
+                        def _(jc=jc):
+                            mark(col_groups(jc))
+                    @pl.when(ridx >= cols)
+                    def _():
+                        mark(range(n_groups))
+        return carry + 1
+
+    walk(ranges, raster_body, init_carry=jnp.int32(0))
 
     # Epilogue per GROUP plane, in the PACKED block layout
     # (pack_block_layout; identity at tile_w == 128 — then gr ==
@@ -728,7 +850,8 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
                      base_x, base_y, ranges, acc_d_ref, acc_t_ref, *,
                      tile_h: int, tile_w: int, sub_rows: int,
                      depth_only: bool, winner: str = "accwide",
-                     cols: int = 1):
+                     cols: int = 1, stop_ref=None, z_row: int = -1,
+                     eo_stride: int = 4):
     """Phase-1 visibility walk (z-test + winner tracking), shared by the
     plain pair kernel and the fused kernel.
 
@@ -750,7 +873,8 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             walk, scratch_ref, init_ref, depth_ref, tid_ref, base_x,
             base_y, ranges, acc_d_ref, acc_t_ref, tile_h=tile_h,
             tile_w=tile_w, sub_rows=sub_rows, depth_only=depth_only,
-            cols=cols,
+            cols=cols, stop_ref=stop_ref, z_row=z_row,
+            eo_stride=eo_stride,
         )
     assert cols == 1, "column sub-tiles require winner='accwide'"
     n_sub = tile_h // sub_rows
@@ -889,6 +1013,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "sub_rows",
         "depth_only", "interpret", "map_tid", "winner",
+        "early_out", "z_row", "eo_stride",
     ),
 )
 def rasterize_pairs(
@@ -904,6 +1029,9 @@ def rasterize_pairs(
     interpret: bool = False,
     map_tid: bool = True,
     winner: str = "accwide",
+    early_out: bool = False,
+    z_row: int = -1,
+    eo_stride: int = 4,
 ):
     """Rasterize an exact pair stream to (depth, triangle-id) buffers.
 
@@ -932,6 +1060,7 @@ def rasterize_pairs(
         init_depth = pack_block_layout(init_depth, tile_h, tile_w,
                                        sub_rows)
 
+    do_eo = early_out and z_row >= 0 and winner == "accwide"
     kernel = functools.partial(
         _pair_kernel,
         tile_h=tile_h,
@@ -941,6 +1070,9 @@ def rasterize_pairs(
         depth_only=depth_only,
         winner=winner,
         cols=cols,
+        early_out=do_eo,
+        z_row=z_row,
+        eo_stride=eo_stride,
     )
 
     def tile_index(t, *prefetch):
@@ -965,6 +1097,7 @@ def rasterize_pairs(
             pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols)
                        if not depth_only else (1, 8, 128),
                        jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     out_shape = (
@@ -1027,6 +1160,7 @@ def _pair_fused_kernel(
     acc_ref,
     acc_d_ref,
     acc_t_ref,
+    stop_ref,
     *,
     tile_h: int,
     tile_w: int,
@@ -1035,6 +1169,9 @@ def _pair_fused_kernel(
     texture_size: int,
     winner: str,
     cols: int = 1,
+    early_out: bool = False,
+    z_row: int = -1,
+    eo_stride: int = 4,
 ):
     """Phase 1: exact-pair visibility raster (identical to _pair_kernel).
     Phase 2: re-walk ONLY the slices containing winners (per-range
@@ -1079,6 +1216,8 @@ def _pair_fused_kernel(
         acc_d_ref, acc_t_ref,
         tile_h=tile_h, tile_w=tile_w, sub_rows=sub_rows, depth_only=False,
         winner=winner, cols=cols,
+        stop_ref=stop_ref if early_out else None, z_row=z_row,
+        eo_stride=eo_stride,
     )
 
     # ---- phase 2: winner-record fetch
@@ -1115,6 +1254,10 @@ def _pair_fused_kernel(
         @pl.when(jnp.any(hit))
         def _fetch():
             for c in _FETCH_ROWS:
+                # The (tile_h, 128) broadcast is required: Mosaic's
+                # take_along_axis lowering rejects shape-(1, 128)
+                # operands with (tile_h, 128) indices ("Only 2D gather
+                # is supported" — probed round 4).
                 row = jnp.broadcast_to(
                     scratch_ref[slot, c : c + 1, :], (tile_h, 128)
                 )
@@ -1209,6 +1352,7 @@ def _pair_fused_kernel(
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "sub_rows",
         "texture_size", "interpret", "winner",
+        "early_out", "z_row", "eo_stride",
     ),
 )
 def rasterize_pairs_fused(
@@ -1223,6 +1367,9 @@ def rasterize_pairs_fused(
     y0_tiles=0,
     interpret: bool = False,
     winner: str = "accwide",
+    early_out: bool = False,
+    z_row: int = -1,
+    eo_stride: int = 4,
 ):
     """Rasterize + interpolate in one kernel.
 
@@ -1252,6 +1399,7 @@ def rasterize_pairs_fused(
         init_depth = pack_block_layout(init_depth, tile_h, tile_w,
                                        sub_rows)
 
+    do_eo = early_out and z_row >= 0 and winner == "accwide"
     kernel = functools.partial(
         _pair_fused_kernel,
         tile_h=tile_h,
@@ -1261,6 +1409,9 @@ def rasterize_pairs_fused(
         texture_size=texture_size,
         winner=winner,
         cols=cols,
+        early_out=do_eo,
+        z_row=z_row,
+        eo_stride=eo_stride,
     )
 
     def tile_index(t, *prefetch):
@@ -1289,6 +1440,7 @@ def rasterize_pairs_fused(
                        jnp.float32),
             pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols),
                        jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     out_shape = (

@@ -34,6 +34,7 @@ from zeldaengine_tpu.ops.rasterize import (
     rasterize_depth,
 )
 from zeldaengine_tpu.ops.rasterize_pallas import (
+    FUSED_EXTRA,
     build_pairs,
     compact_setup,
     rasterize_pairs,
@@ -107,13 +108,17 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                             expand=config.pair_expand, y0_tiles=y0_tiles,
                             max_pairs=config.max_pairs,
-                            sort_z=config.raster_zsort)
+                            sort_z=config.raster_zsort,
+                            align=config.pair_align)
         if cidx is not None:
             pairs = remap_pair_tri(pairs, cidx, orig_t)
         depth, tid = rasterize_pairs(
             pairs, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
             tile_w=config.tile_w, sub_rows=config.sub_rows,
             y0_tiles=y0_tiles,
+            early_out=config.raster_early_out,
+            z_row=12 if config.raster_zsort else -1,
+            eo_stride=config.early_out_stride,
         )
         return (depth[:height, :width], tid[:height, :width],
                 pairs.overflow + covf)
@@ -148,17 +153,31 @@ def _maybe_compact(setup, extra, config: EngineConfig):
     return s2, e2, idx, ovf
 
 
-def _fused_extra(scene, setup, world, n_world):
+def _fused_extra(scene, setup, world, n_world, tri_idx=None):
     """Per-triangle fused-record payload (T, 34): material-combo id (as a
     float value) + 3 corners x (uv2, color3, world-pos3, world-normal3).
     O(T) host-side-of-the-frame work, replacing the per-PIXEL (H, W, 64)
-    record gather + XLA interpolation the jnp attrs path does."""
-    n_t = setup.edge.shape[0]
+    record gather + XLA interpolation the jnp attrs path does.
+
+    ``tri_idx``: compacted original-triangle ids (compact_setup) — the
+    33-float corner gather then runs over the CAP rows instead of the
+    full pool (at config-4 scale the extra build for 1M triangles was
+    the single largest prep term; VERDICT r3 #4). Rows whose id is the
+    dead sentinel gather row 0 harmlessly (their records are forced to
+    the never-row by setup.valid)."""
     pair_all = jnp.concatenate(
         [scene.pair_static[:, :5], world, n_world], axis=1
     )  # (P, 11)
-    corners = pair_all[scene.tri_vtx[:n_t]].reshape(n_t, 33)
-    combo = scene.mat_combined[scene.tri_meta[:n_t, 3]].astype(jnp.float32)
+    if tri_idx is None:
+        n_t = setup.edge.shape[0]
+        tv = scene.tri_vtx[:n_t]
+        mat = scene.tri_meta[:n_t, 3]
+    else:
+        safe = jnp.minimum(tri_idx, scene.tri_vtx.shape[0] - 1)
+        tv = scene.tri_vtx[safe]
+        mat = scene.tri_meta[safe, 3]
+    corners = pair_all[tv].reshape(tv.shape[0], 33)
+    combo = scene.mat_combined[mat].astype(jnp.float32)
     return jnp.concatenate([combo[:, None], corners], axis=1)
 
 
@@ -175,17 +194,27 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
         )
     y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
     orig_t = setup.edge.shape[0]
-    setup, extra, cidx, covf = _maybe_compact(setup, extra, config)
+    if callable(extra):
+        # Compact FIRST, then build the 34-column payload for the cap
+        # rows only (the builder receives the compacted original ids).
+        setup, _, cidx, covf = _maybe_compact(setup, None, config)
+        extra = extra(cidx)
+    else:
+        setup, extra, cidx, covf = _maybe_compact(setup, extra, config)
     pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                         expand=config.pair_expand, y0_tiles=y0_tiles,
                         extra=extra, max_pairs=config.max_pairs,
-                        sort_z=config.raster_zsort)
+                        sort_z=config.raster_zsort,
+                        align=config.pair_align)
     if cidx is not None:
         pairs = remap_pair_tri(pairs, cidx, orig_t)
     depth, tid, planes = rasterize_pairs_fused(
         pairs, ph, pw, init_depth=init_depth, tile_h=config.tile_h,
         tile_w=config.tile_w, sub_rows=config.sub_rows,
         texture_size=config.texture_size, y0_tiles=y0_tiles,
+        early_out=config.raster_early_out,
+        z_row=(12 + FUSED_EXTRA) if config.raster_zsort else -1,
+        eo_stride=config.early_out_stride,
     )
     return (depth[:height, :width], tid[:height, :width],
             planes[:, :height, :width], pairs.overflow + covf)
@@ -214,14 +243,23 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
         else config.replace(tile_h=s_th)
     if _use_pallas(cfg_band, band, height):
         y0_tiles = jnp.asarray(y0, jnp.int32) // s_th
-        setup, _, _, covf = _maybe_compact(setup, None, config)
+        # Shadow casters are NOT the camera-culled set: compaction uses
+        # its own capacity (config.compact_tris_shadow).
+        setup, _, _, covf = _maybe_compact(
+            setup, None,
+            config.replace(compact_tris=config.compact_tris_shadow))
         pairs = build_pairs(setup, dim, height, s_th, s_tw,
                             expand=config.pair_expand_shadow,
                             y0_tiles=y0_tiles,
-                            max_pairs=config.max_pairs_shadow)
+                            max_pairs=config.max_pairs_shadow,
+                            sort_z=config.raster_zsort,
+                            align=config.pair_align)
         return rasterize_pairs(
             pairs, height, dim, tile_h=s_th, tile_w=s_tw,
             sub_rows=config.sub_rows, depth_only=True, y0_tiles=y0_tiles,
+            early_out=config.raster_early_out,
+            z_row=12 if config.raster_zsort else -1,
+            eo_stride=config.early_out_stride,
         ), pairs.overflow + covf
     return (rasterize_depth(setup, height, dim, chunk=config.tri_chunk,
                             y0=y0), jnp.int32(0))
@@ -525,6 +563,7 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
             tiled_points=tiled_points, env_fetch=env_fetch,
             ablate=config.ablate, cube_pair1=scene.cube_pair1,
             refl_half=config.reflection_half,
+            cube_const=scene.cube_const,
         )
     final = gamma_correct(lit["final"] * mask[..., None])
 
@@ -587,6 +626,7 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
         scene.cube_atlas, config.cubemap_size, tiled_points=tiled_points,
         env_fetch=env_fetch, ablate=config.ablate,
         cube_pair1=scene.cube_pair1, refl_half=config.reflection_half,
+        cube_const=scene.cube_const,
     )
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(
@@ -794,10 +834,17 @@ def render_rows(
     # ---- vertex stage (Base.vert / BaseInstanced.vert / Shadowmap*.vert)
     world = apply_mat4_point(view.model, scene.pair_pos)
     n1 = apply_mat4_point(view.model, pbr.normalize(scene.pair_nrm))
-    n_world = jnp.einsum(
-        "pij,pj->pi", scene.rot_table[scene.pair_rot], n1,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if scene.rot_table.shape[0] <= 1:
+        # No instance rotations anywhere (rot_table is just the identity
+        # row): the per-pair (P, 3, 3) gather + einsum are the identity.
+        # Meshlet-scale scenes bake ~1M unrotated pairs — skipping it is
+        # a static shape decision, free at trace time.
+        n_world = n1
+    else:
+        n_world = jnp.einsum(
+            "pij,pj->pi", scene.rot_table[scene.pair_rot], n1,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     clip = apply_mat4_h(view.view_proj, world)
     tri_clip = clip[scene.tri_vtx]
 
@@ -820,14 +867,29 @@ def render_rows(
     # ---- 1. shadowmap pass (two-sided: cull disabled for Shadow pipelines)
     if config.enable_shadow:
         clip_sh = apply_mat4_h(view.shadow_space, world)
+        # NOTE: CAMERA frustum/cone culling must NOT apply here —
+        # geometry behind the camera still casts shadows. The LIGHT
+        # frustum is a different matter: meshlets outside the shadow
+        # frustum cannot write the map (exact), and closed-mesh scenes
+        # can opt into the light-apex cone test (shadow_cone_cull).
+        sh_valid = scene.tri_valid
+        if meta.has_meshlets:
+            sp_model = jnp.matmul(view.shadow_space, view.model,
+                                  precision=jax.lax.Precision.HIGHEST)
+            light_pos = view.dir_lights[0, 0, :3]
+            vis_sh = meshlet_cull(
+                scene.meshlet_records, sp_model, light_pos,
+                model=view.model, cone=config.shadow_cone_cull,
+            )
+            tri_vis_sh = expand_meshlet_mask(
+                vis_sh, jnp.maximum(scene.tri_meshlet, 0))
+            sh_valid = sh_valid & (tri_vis_sh | (scene.tri_meshlet < 0))
         setup_sh = triangle_setup(
             clip_sh[scene.tri_vtx],
             config.shadowmap_dim,
             config.shadowmap_dim,
             two_sided=True,
-            # NOTE: camera-frustum/cone culling must NOT apply here —
-            # geometry behind the camera still casts shadows.
-            valid_mask=scene.tri_valid,
+            valid_mask=sh_valid,
             depth_bias=(config.shadow_bias_constant,
                         config.shadow_bias_slope),
         )
@@ -913,9 +975,12 @@ def render_rows(
         if not full_frame:
             setup = _band_mask_setup(setup, y0, height)
         if use_fused:
-            extra = _fused_extra(scene, setup, world, n_world)
+            setup_d = setup
             depth_d, tid_d, planes_d, ovf_d = _raster_vis_fused(
-                setup, extra, height, width, config, y0=y0
+                setup_d,
+                lambda cidx: _fused_extra(scene, setup_d, world, n_world,
+                                          tri_idx=cidx),
+                height, width, config, y0=y0,
             )
             attrs_d = surface_attributes_from_planes(
                 scene, planes_d, config, var_ch=meta.tex_channels)
@@ -956,9 +1021,11 @@ def render_rows(
         if not full_frame:
             setup_f = _band_mask_setup(setup_f, y0, height)
         if use_fused:
-            extra_f = _fused_extra(scene, setup_f, world, n_world)
             depth, tid_f, planes_f, ovf_f = _raster_vis_fused(
-                setup_f, extra_f, height, width, config,
+                setup_f,
+                lambda cidx: _fused_extra(scene, setup_f, world, n_world,
+                                          tri_idx=cidx),
+                height, width, config,
                 init_depth=depth_d, y0=y0,
             )
             attrs_f = surface_attributes_from_planes(

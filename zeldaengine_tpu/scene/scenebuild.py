@@ -249,6 +249,17 @@ class GpuScene(NamedTuple):
     # served EXACTLY by one gather here. None disables the tier.
     cube_pair1: Optional[jnp.ndarray] = None
 
+    # Constant-lod reflection table: when the scene's minimum material
+    # roughness is exactly 1.0, EVERY reflection tap reads the cubemap
+    # at one fixed mip (maxmip-2, Common.glsl:191-198) whose faces are
+    # 2x2 texels — the whole 39-ch cube_pair1 gather collapses to a
+    # per-face bilinear over these 6x2x2 texels (selects, no gather;
+    # ~5 ms at 1080p). Values are the SAME box-mean chain + bf16
+    # rounding the pair atlas stores, so the output is bit-identical.
+    # Caveat (as cube_pair1): the Details-panel roughness OVERRIDE
+    # multiplies below 1.0 only in debug sessions.
+    cube_const: Optional[jnp.ndarray] = None  # (6, 2, 2, 3) f32
+
     # Constant-slot elision (per-combo scalar channels): texel (0, 0) of
     # every combo's 16-channel combined image. Channels that are
     # SPATIALLY CONSTANT in every combo (the norm — the reference
@@ -767,6 +778,22 @@ class SceneBuilder:
             cached_atlas("cube_p1", self.cube_faces, _build_cube_pair1)
             if self.config.cube_low_tier and min_rough >= 0.031 else None
         )
+        # Constant-lod reflection (GpuScene.cube_const): at min roughness
+        # exactly 1.0 every reflection tap reads mip maxmip-2 = 2x2 faces
+        # — precompute those 6x2x2 texels with the SAME np box-mean chain
+        # + bf16 rounding the pair atlas stores (bit-identical output).
+        cube_const = None
+        if cube_pair1 is not None and min_rough >= 1.0:
+            import ml_dtypes
+
+            lv = np.asarray(self.cube_faces, np.float32)
+            while lv.shape[1] > 2:
+                n6, sz = lv.shape[0], lv.shape[1]
+                lv = lv.reshape(n6, sz // 2, 2, sz // 2, 2,
+                                lv.shape[-1]).mean(axis=(2, 4))
+            cube_const = jnp.asarray(
+                np.asarray(lv[..., :3], ml_dtypes.bfloat16), jnp.float32
+            )
         sky_tex = cached_atlas("sky", self.sky_image[None], _bma)
         bg_tex = cached_atlas("bg", self.bg_image[None], _bma)
         env_table = None
@@ -820,6 +847,7 @@ class SceneBuilder:
             bg_planes=cached_atlas("bg_pl", self.bg_image[None],
                                    _planes_f32, dtype=jnp.float32),
             cube_pair1=cube_pair1,
+            cube_const=cube_const,
             mat_const=mat_const,
         )
         meta = SceneMeta(
