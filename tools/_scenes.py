@@ -46,8 +46,13 @@ def build_c4_scene(config):
 
 
 def c4_config(base_cls, **over):
+    # Mirrors bench.py config 4 exactly (caps + shadow capacities) so
+    # stage probes time the same program the bench runs.
     kw = dict(width=1024, height=1024, shadowmap_dim=512,
               texture_size=128, cubemap_size=64, background_size=128,
-              max_point_lights=8, pair_expand=4)
+              max_point_lights=8, pair_expand=4, pair_expand_shadow=2,
+              compact_tris=512 * 1024, compact_tris_shadow=640 * 1024,
+              shadow_cone_cull=True, max_pairs=512 * 1024,
+              max_pairs_shadow=640 * 1024)
     kw.update(over)
     return base_cls(**kw)

@@ -53,7 +53,8 @@ def main():
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--grass", type=int, default=10000)
     ap.add_argument("--rocks", type=int, default=65)
-    ap.add_argument("--winner", type=str, default="argmin2")
+    ap.add_argument("--winner", type=str, default="accwide",
+                    help="walk structure; accwide is the engine default")
     ap.add_argument("--scene", type=str, default="demo",
                     choices=("demo", "c4"))
     ap.add_argument("--compact", type=int, default=0,
@@ -63,8 +64,10 @@ def main():
     ap.add_argument("--tile_w", type=int, default=0)
     ap.add_argument("--zsort", type=int, default=1,
                     help="front-to-back pair ordering (build_pairs sort_z)")
-    ap.add_argument("--eo", type=int, default=1,
+    ap.add_argument("--eo", type=int, default=0,
                     help="occlusion early-out in the pair walks")
+    ap.add_argument("--ysort", type=int, default=1,
+                    help="y-bucketed bins + sub-block window skip")
     args = ap.parse_args()
 
     import jax
@@ -163,7 +166,9 @@ def main():
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                             expand=config.pair_expand, extra=extra,
                             max_pairs=config.max_pairs,
-                            sort_z=bool(args.zsort))
+                            sort_z=bool(args.zsort),
+                            ysort_sub_rows=(config.sub_rows
+                                            if args.ysort else None))
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -182,7 +187,9 @@ def main():
                             config.shadowmap_dim, config.tile_h,
                             config.tile_w,
                             expand=config.pair_expand_shadow,
-                            max_pairs=config.max_pairs_shadow)
+                            max_pairs=config.max_pairs_shadow,
+                            ysort_sub_rows=(config.sub_rows
+                                            if args.ysort else None))
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -216,10 +223,14 @@ def main():
                                     config.tile_w,
                                     expand=config.pair_expand, extra=extra,
                                     max_pairs=config.max_pairs,
-                                    sort_z=bool(args.zsort))
+                                    sort_z=bool(args.zsort),
+                                    ysort_sub_rows=(config.sub_rows
+                                                    if args.ysort
+                                                    else None))
                 # pairs are loop-invariant (hoisted); init_depth carries dt
                 init = jnp.ones((ph, pw), jnp.float32) + dt
                 from zeldaengine_tpu.ops.rasterize_pallas import FUSED_EXTRA
+                hz = 1 if args.zsort else 0
                 d, tid, planes = rasterize_pairs_fused(
                     pairs, ph, pw, init_depth=init,
                     tile_h=config.tile_h, tile_w=config.tile_w,
@@ -228,6 +239,7 @@ def main():
                     winner=args.winner,
                     early_out=bool(args.eo),
                     z_row=(12 + FUSED_EXTRA) if args.zsort else -1,
+                    y_row=((12 + FUSED_EXTRA + hz) if args.ysort else -1),
                 )
                 return jnp.sum(d) + jnp.sum(planes[1])
 
@@ -247,20 +259,27 @@ def main():
                 pairs = build_pairs(setup, pw, ph, config.tile_h,
                                     config.tile_w,
                                     expand=config.pair_expand, extra=extra,
-                                    sort_z=bool(args.zsort))
+                                    sort_z=bool(args.zsort),
+                                    ysort_sub_rows=(config.sub_rows
+                                                    if args.ysort
+                                                    else None))
                 init = jnp.ones((ph, pw), jnp.float32) + dt
+                hz = 1 if args.zsort else 0
+                ne = 34 if name == "kernel1" else 0
+                yr = (12 + ne + hz) if args.ysort else -1
                 if name == "kernel1d":
                     d = rasterize_pairs(
                         pairs, ph, pw, init_depth=init,
                         tile_h=config.tile_h, tile_w=config.tile_w,
                         sub_rows=config.sub_rows, depth_only=True,
+                        y_row=yr,
                     )
                     return jnp.sum(d)
                 d, tid_pair = rasterize_pairs(
                     pairs, ph, pw, init_depth=init,
                     tile_h=config.tile_h, tile_w=config.tile_w,
                     sub_rows=config.sub_rows, map_tid=False,
-                    winner=args.winner,
+                    winner=args.winner, y_row=yr,
                 )
                 return jnp.sum(d) + jnp.sum(tid_pair)
 
@@ -280,10 +299,14 @@ def main():
                                     config.shadowmap_dim, config.tile_h,
                                     config.tile_w,
                                     expand=config.pair_expand_shadow,
-                                    sort_z=bool(args.zsort))
+                                    sort_z=bool(args.zsort),
+                                    ysort_sub_rows=(config.sub_rows
+                                                    if args.ysort
+                                                    else None))
                 init = (jnp.ones((config.shadowmap_dim,
                                   config.shadowmap_dim), jnp.float32)
                         + dt)
+                hz = 1 if args.zsort else 0
                 d = rasterize_pairs(
                     pairs, config.shadowmap_dim, config.shadowmap_dim,
                     init_depth=init, tile_h=config.tile_h,
@@ -291,6 +314,7 @@ def main():
                     depth_only=True, winner=args.winner,
                     early_out=bool(args.eo),
                     z_row=12 if args.zsort else -1,
+                    y_row=(12 + hz) if args.ysort else -1,
                 )
                 return jnp.sum(d)
 

@@ -129,6 +129,14 @@ class EngineConfig:
     # phase-2 winner windows (~10 ms of the round-4 demo kernel). Only
     # exact-depth ties between different triangles can change winner.
     raster_zsort: bool = True
+    # Y-bucketed pair bins + per-visit sub-block window skip: each bin's
+    # pairs are ordered by first covered sub-block row (z within), each
+    # record carries the triangle's packed sub-block span, and the walk
+    # reduces a slice's spans to one scalar window, skipping sub-blocks
+    # outside it. Exact (coverage outside the binning bbox is empty).
+    # At meshlet scale tiles see sub-pixel triangles spanning 1 of 8
+    # sub-blocks — the dense pixels-x-pairs product drops up to 8x.
+    raster_ysort: bool = True
     # Occlusion early-out in the pair walks (needs raster_zsort): every
     # ``early_out_stride`` visits a tile checks whether every pixel is
     # already strictly closer than any REMAINING pair's conservative

@@ -172,6 +172,7 @@ def build_pairs(
     max_pairs: int | None = None,
     sort_z: bool = False,
     align: bool = False,
+    ysort_sub_rows: int | None = None,
 ) -> PairedTriangles:
     """Compact triangles into exact per-tile pair lists (TPU binning).
 
@@ -206,6 +207,17 @@ def build_pairs(
     +20 ms of prep at demo scale against ~3 ms of skipped visits
     (BASELINE.md round 4) — TPU gathers price per needle, so any
     per-pair stream rewrite must save MORE than a gather's worth.
+
+    ``ysort_sub_rows``: bucket each bin's pairs by the triangle's first
+    covered SUB-BLOCK row (``sub_rows``-row horizontal strips — MUST
+    match the raster kernel's ``sub_rows``) ahead of the z order, and
+    append a record row carrying the triangle's packed absolute
+    sub-block span (``ysub1 * 4096 + ysub0``). The kernel then reduces
+    each 128-pair slice's span to a scalar window and SKIPS the
+    sub-blocks outside it (``y_row`` in rasterize_pairs*) — at meshlet
+    scale triangles cover 1 of a tile's 8 sub-blocks, so the dense
+    pixels-x-pairs product drops up to 8x. Exact: a triangle's coverage
+    outside its binning bbox is empty by construction.
     """
     edge = setup.edge
     t = edge.shape[0]
@@ -221,14 +233,24 @@ def build_pairs(
     n_super = n_sy * n_sx
     n_bins = n_tiles + n_super + 2  # dense + super + global + dead
     has_z = 1 if (sort_z and setup.zmin is not None) else 0
-    # Front-to-back key low bits: (n_bins << zbits) must stay < 2^31.
-    zbits = min(16, 30 - max(n_bins - 1, 1).bit_length()) if has_z else 0
+    has_y = 1 if ysort_sub_rows else 0
+    n_sub = (tile_h // ysort_sub_rows) if has_y else 1
+    ybits = max(1, (n_sub - 1).bit_length()) if has_y else 0
+    # Front-to-back key low bits: (n_bins << (ybits + zbits)) < 2^31.
+    zbits = (min(16, 30 - max(n_bins - 1, 1).bit_length() - ybits)
+             if has_z else 0)
     zscale = float((1 << zbits) - 1) if has_z else 1.0
 
     n_extra = 0 if extra is None else extra.shape[1]
-    rec_rows = max(16, ((12 + n_extra + has_z + 15) // 16) * 16)
+    rec_rows = max(16, ((12 + n_extra + has_z + has_y + 15) // 16) * 16)
     never = jnp.zeros((rec_rows,), jnp.float32).at[2].set(-1.0) \
         .at[5].set(-1.0).at[8].set(-1.0)
+    if has_y:
+        # Never-record y span: ysub0 = 4095 (min-reduce ignores it),
+        # ysub1 = 0 (max-reduce ignores it) — dead lanes in a shared
+        # boundary slice must not widen the window.
+        never = never.at[12 + n_extra + has_z].set(4095.0)
+    bbox = setup.bbox
     cols = [edge.reshape(t, 9), setup.zc]
     if extra is not None:
         cols.append(extra.astype(jnp.float32))
@@ -240,7 +262,15 @@ def build_pairs(
         zq_val = jnp.floor(
             jnp.clip(setup.zmin, 0.0, 1.0) * zscale) / zscale
         cols.append(zq_val[:, None])
-    pad_cols = rec_rows - 12 - n_extra - has_z
+    if has_y:
+        # Absolute sub-block span of the binning bbox, packed into one
+        # row (both < 4096; the packed value < 2^24 stays exact in f32).
+        ysub0 = jnp.clip(jnp.floor(bbox[:, 1] / ysort_sub_rows), 0.0,
+                         4095.0)
+        ysub1 = jnp.clip(jnp.ceil(bbox[:, 3] / ysort_sub_rows) - 1.0,
+                         0.0, 4095.0)
+        cols.append((ysub1 * 4096.0 + ysub0)[:, None])
+    pad_cols = rec_rows - 12 - n_extra - has_z - has_y
     if pad_cols:
         cols.append(jnp.zeros((t, pad_cols), jnp.float32))
     rec = jnp.concatenate(cols, axis=1)
@@ -307,17 +337,33 @@ def build_pairs(
     tri_ids = jnp.pad(tri_ids.reshape(-1), ((0, pad)), constant_values=t)
     tri_ids = jnp.where(keys >= dead, t, tri_ids)
 
-    if has_z:
-        # Front-to-back within each bin: key = bin << zbits | quantized
-        # zmin. The bin ids stay exact in f32 (< 2^24); the composite is
-        # assembled in int32, sized so (n_bins << zbits) < 2^31.
-        zq = jnp.clip(
-            jnp.floor(setup.zmin * zscale), 0.0, zscale
-        ).astype(jnp.int32)
-        zq = jnp.pad(
-            jnp.tile(zq[:, None], (1, expand)).reshape(-1), ((0, pad))
-        )
-        keys_i = (keys.astype(jnp.int32) << zbits) | zq
+    if has_z or has_y:
+        # Within-bin order: key = bin << (ybits + zbits) | y-bucket <<
+        # zbits | quantized zmin. The bin ids stay exact in f32
+        # (< 2^24); the composite is assembled in int32, sized so
+        # (n_bins << (ybits + zbits)) < 2^31.
+        low = jnp.zeros_like(tri_ids)
+        if has_y:
+            # First covered sub-block RELATIVE to the pair's own tile
+            # (dense pairs only; supertile/global pairs take bucket 0 —
+            # their order within the bin is free).
+            yb_tri = jnp.clip(jnp.floor(bbox[:, 1] / ysort_sub_rows),
+                              0.0, 4095.0)
+            tile_base = (ty0[:, None] + ey + y0f) * float(n_sub)
+            yb = jnp.clip(yb_tri[:, None] - tile_base, 0.0,
+                          float(n_sub - 1))
+            yb = jnp.where((e < ncov[:, None]) & small[:, None], yb, 0.0)
+            yb = jnp.pad(yb.reshape(-1), ((0, pad)))
+            low = yb.astype(jnp.int32) << zbits
+        if has_z:
+            zq = jnp.clip(
+                jnp.floor(setup.zmin * zscale), 0.0, zscale
+            ).astype(jnp.int32)
+            zq = jnp.pad(
+                jnp.tile(zq[:, None], (1, expand)).reshape(-1), ((0, pad))
+            )
+            low = low | zq
+        keys_i = (keys.astype(jnp.int32) << (ybits + zbits)) | low
     else:
         keys_i = keys.astype(jnp.int32)
 
@@ -334,7 +380,9 @@ def build_pairs(
     if max_pairs is not None and max_pairs < skey.shape[0]:
         cap = max(128, (max_pairs // 128) * 128)
         live_end = jnp.searchsorted(
-            skey, jnp.int32((n_tiles + n_super + 1) << zbits), side="left"
+            skey,
+            jnp.int32((n_tiles + n_super + 1) << (ybits + zbits)),
+            side="left",
         ).astype(jnp.int32)
         overflow = jnp.maximum(live_end - cap, 0)
         skey = skey[:cap]
@@ -343,9 +391,11 @@ def build_pairs(
     # Per-bin offsets (n_tiles dense + n_super supertile + global + dead)
     # via binary search over the SORTED keys — 0.5k searches of log(P)
     # instead of a P-element scatter-add histogram. Bin b's keys occupy
-    # [b << zbits, (b+1) << zbits) when sort_z packs depth low bits.
+    # [b << k, (b+1) << k), k = ybits + zbits, when sort_y/sort_z pack
+    # bucket low bits.
     off = jnp.searchsorted(
-        skey, jnp.arange(n_bins, dtype=jnp.int32) << zbits,
+        skey,
+        jnp.arange(n_bins, dtype=jnp.int32) << (ybits + zbits),
         side="left",
     ).astype(jnp.int32)
     if align:
@@ -607,6 +657,7 @@ def _pair_kernel(
     early_out: bool = False,
     z_row: int = -1,
     eo_stride: int = 4,
+    y_row: int = -1,
 ):
     t = pl.program_id(0)
 
@@ -637,7 +688,7 @@ def _pair_kernel(
         ranges, acc_d_ref, acc_t_ref, tile_h=tile_h, tile_w=tile_w,
         sub_rows=sub_rows, depth_only=depth_only, winner=winner,
         cols=cols, stop_ref=stop_ref if early_out else None,
-        z_row=z_row, eo_stride=eo_stride,
+        z_row=z_row, eo_stride=eo_stride, y_row=y_row,
     )
 
 
@@ -646,7 +697,8 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
                              acc_t_ref, *, tile_h: int, tile_w: int,
                              sub_rows: int, depth_only: bool,
                              cols: int = 1, stop_ref=None,
-                             z_row: int = -1, eo_stride: int = 4):
+                             z_row: int = -1, eo_stride: int = 4,
+                             y_row: int = -1):
     """Full-width accumulator walk: per-visit state is the whole
     (p_sub, 128) candidate plane — ``acc_d = min(acc_d, cand)`` (+ a
     compare-select pid plane when tracking winners) — and the cross-LANE
@@ -734,11 +786,26 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
     if do_eo:
         stop_ref[0] = -1
 
+    base_sub_f = (base_y // sub_rows).astype(jnp.float32)
+
     def raster_body(slot, c_base, lo, hi, ridx, carry):
         lane_ok = (
             (lane_f >= (lo - c_base).astype(jnp.float32))
             & (lane_f < (hi - c_base).astype(jnp.float32))
         )
+        if y_row >= 0:
+            # Sub-block window skip (y-bucketed bins, build_pairs
+            # ysort_sub_rows): reduce the slice's packed absolute
+            # sub-block spans to one scalar [lo_sb, hi_sb] window and
+            # skip every sub-block outside it. The reduce runs on ONE
+            # (1, 128) row (cheap, unlike the rejected whole-plane
+            # early-out reductions); dead/never lanes carry (4095, 0)
+            # so they never widen the window.
+            ysr = scratch_ref[slot, y_row : y_row + 1, :]
+            y1s = jnp.floor(ysr * (1.0 / 4096.0))
+            y0s = ysr - y1s * 4096.0
+            lo_sb = jnp.min(jnp.where(lane_ok, y0s, 4095.0)) - base_sub_f
+            hi_sb = jnp.max(jnp.where(lane_ok, y1s, 0.0)) - base_sub_f
         if not depth_only:
             pid_f = c_base.astype(jnp.float32) + lane_f
 
@@ -765,24 +832,31 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
             ) & lane_ok
             return jnp.where(inside, d, NO_HIT)
 
+        def sub_work(jc, sb):
+            cand = eval_cand(pxs[jc], pys[sb])
+            g, o = acc_slot(jc, sb)
+            if depth_only:
+                acc_d_ref[g, pl.ds(o, p_sub)] = jnp.minimum(
+                    cand, acc_d_ref[g, pl.ds(o, p_sub)]
+                )
+            else:
+                cur = acc_d_ref[g, pl.ds(o, p_sub)]
+                take = cand < cur
+                acc_d_ref[g, pl.ds(o, p_sub)] = jnp.where(
+                    take, cand, cur
+                )
+                acc_t_ref[g, pl.ds(o, p_sub)] = jnp.where(
+                    take, pid_f, acc_t_ref[g, pl.ds(o, p_sub)]
+                )
+
         def col_work(jc):
-            px = pxs[jc]
             for sb in range(n_sub):
-                cand = eval_cand(px, pys[sb])
-                g, o = acc_slot(jc, sb)
-                if depth_only:
-                    acc_d_ref[g, pl.ds(o, p_sub)] = jnp.minimum(
-                        cand, acc_d_ref[g, pl.ds(o, p_sub)]
-                    )
+                if y_row >= 0:
+                    @pl.when((lo_sb <= float(sb)) & (float(sb) <= hi_sb))
+                    def _(jc=jc, sb=sb):
+                        sub_work(jc, sb)
                 else:
-                    cur = acc_d_ref[g, pl.ds(o, p_sub)]
-                    take = cand < cur
-                    acc_d_ref[g, pl.ds(o, p_sub)] = jnp.where(
-                        take, cand, cur
-                    )
-                    acc_t_ref[g, pl.ds(o, p_sub)] = jnp.where(
-                        take, pid_f, acc_t_ref[g, pl.ds(o, p_sub)]
-                    )
+                    sub_work(jc, sb)
 
         def dispatch():
             if cols == 1:
@@ -851,7 +925,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
                      tile_h: int, tile_w: int, sub_rows: int,
                      depth_only: bool, winner: str = "accwide",
                      cols: int = 1, stop_ref=None, z_row: int = -1,
-                     eo_stride: int = 4):
+                     eo_stride: int = 4, y_row: int = -1):
     """Phase-1 visibility walk (z-test + winner tracking), shared by the
     plain pair kernel and the fused kernel.
 
@@ -874,8 +948,9 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             base_y, ranges, acc_d_ref, acc_t_ref, tile_h=tile_h,
             tile_w=tile_w, sub_rows=sub_rows, depth_only=depth_only,
             cols=cols, stop_ref=stop_ref, z_row=z_row,
-            eo_stride=eo_stride,
+            eo_stride=eo_stride, y_row=y_row,
         )
+    assert y_row < 0, "sub-block window skip requires winner='accwide'"
     assert cols == 1, "column sub-tiles require winner='accwide'"
     n_sub = tile_h // sub_rows
     p_sub = sub_rows * tile_w
@@ -1013,7 +1088,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "sub_rows",
         "depth_only", "interpret", "map_tid", "winner",
-        "early_out", "z_row", "eo_stride",
+        "early_out", "z_row", "eo_stride", "y_row",
     ),
 )
 def rasterize_pairs(
@@ -1032,6 +1107,7 @@ def rasterize_pairs(
     early_out: bool = False,
     z_row: int = -1,
     eo_stride: int = 4,
+    y_row: int = -1,
 ):
     """Rasterize an exact pair stream to (depth, triangle-id) buffers.
 
@@ -1073,6 +1149,7 @@ def rasterize_pairs(
         early_out=do_eo,
         z_row=z_row,
         eo_stride=eo_stride,
+        y_row=y_row if winner == "accwide" else -1,
     )
 
     def tile_index(t, *prefetch):
@@ -1172,6 +1249,7 @@ def _pair_fused_kernel(
     early_out: bool = False,
     z_row: int = -1,
     eo_stride: int = 4,
+    y_row: int = -1,
 ):
     """Phase 1: exact-pair visibility raster (identical to _pair_kernel).
     Phase 2: re-walk ONLY the slices containing winners (per-range
@@ -1217,7 +1295,7 @@ def _pair_fused_kernel(
         tile_h=tile_h, tile_w=tile_w, sub_rows=sub_rows, depth_only=False,
         winner=winner, cols=cols,
         stop_ref=stop_ref if early_out else None, z_row=z_row,
-        eo_stride=eo_stride,
+        eo_stride=eo_stride, y_row=y_row,
     )
 
     # ---- phase 2: winner-record fetch
@@ -1352,7 +1430,7 @@ def _pair_fused_kernel(
     static_argnames=(
         "height", "width", "tile_h", "tile_w", "sub_rows",
         "texture_size", "interpret", "winner",
-        "early_out", "z_row", "eo_stride",
+        "early_out", "z_row", "eo_stride", "y_row",
     ),
 )
 def rasterize_pairs_fused(
@@ -1370,6 +1448,7 @@ def rasterize_pairs_fused(
     early_out: bool = False,
     z_row: int = -1,
     eo_stride: int = 4,
+    y_row: int = -1,
 ):
     """Rasterize + interpolate in one kernel.
 
@@ -1412,6 +1491,7 @@ def rasterize_pairs_fused(
         early_out=do_eo,
         z_row=z_row,
         eo_stride=eo_stride,
+        y_row=y_row if winner == "accwide" else -1,
     )
 
     def tile_index(t, *prefetch):

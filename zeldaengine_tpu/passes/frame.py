@@ -105,11 +105,14 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
         y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
         orig_t = setup.edge.shape[0]
         setup, _, cidx, covf = _maybe_compact(setup, None, config)
+        has_z = 1 if config.raster_zsort else 0
+        ysr = config.sub_rows if config.raster_ysort else None
         pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                             expand=config.pair_expand, y0_tiles=y0_tiles,
                             max_pairs=config.max_pairs,
                             sort_z=config.raster_zsort,
-                            align=config.pair_align)
+                            align=config.pair_align,
+                            ysort_sub_rows=ysr)
         if cidx is not None:
             pairs = remap_pair_tri(pairs, cidx, orig_t)
         depth, tid = rasterize_pairs(
@@ -119,6 +122,7 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
             early_out=config.raster_early_out,
             z_row=12 if config.raster_zsort else -1,
             eo_stride=config.early_out_stride,
+            y_row=(12 + has_z) if ysr else -1,
         )
         return (depth[:height, :width], tid[:height, :width],
                 pairs.overflow + covf)
@@ -201,11 +205,14 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
         extra = extra(cidx)
     else:
         setup, extra, cidx, covf = _maybe_compact(setup, extra, config)
+    has_z = 1 if config.raster_zsort else 0
+    ysr = config.sub_rows if config.raster_ysort else None
     pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
                         expand=config.pair_expand, y0_tiles=y0_tiles,
                         extra=extra, max_pairs=config.max_pairs,
                         sort_z=config.raster_zsort,
-                        align=config.pair_align)
+                        align=config.pair_align,
+                        ysort_sub_rows=ysr)
     if cidx is not None:
         pairs = remap_pair_tri(pairs, cidx, orig_t)
     depth, tid, planes = rasterize_pairs_fused(
@@ -215,6 +222,7 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
         early_out=config.raster_early_out,
         z_row=(12 + FUSED_EXTRA) if config.raster_zsort else -1,
         eo_stride=config.early_out_stride,
+        y_row=(12 + FUSED_EXTRA + has_z) if ysr else -1,
     )
     return (depth[:height, :width], tid[:height, :width],
             planes[:, :height, :width], pairs.overflow + covf)
@@ -248,18 +256,22 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
         setup, _, _, covf = _maybe_compact(
             setup, None,
             config.replace(compact_tris=config.compact_tris_shadow))
+        has_z = 1 if config.raster_zsort else 0
+        ysr = config.sub_rows if config.raster_ysort else None
         pairs = build_pairs(setup, dim, height, s_th, s_tw,
                             expand=config.pair_expand_shadow,
                             y0_tiles=y0_tiles,
                             max_pairs=config.max_pairs_shadow,
                             sort_z=config.raster_zsort,
-                            align=config.pair_align)
+                            align=config.pair_align,
+                            ysort_sub_rows=ysr)
         return rasterize_pairs(
             pairs, height, dim, tile_h=s_th, tile_w=s_tw,
             sub_rows=config.sub_rows, depth_only=True, y0_tiles=y0_tiles,
             early_out=config.raster_early_out,
             z_row=12 if config.raster_zsort else -1,
             eo_stride=config.early_out_stride,
+            y_row=(12 + has_z) if ysr else -1,
         ), pairs.overflow + covf
     return (rasterize_depth(setup, height, dim, chunk=config.tri_chunk,
                             y0=y0), jnp.int32(0))
