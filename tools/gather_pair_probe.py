@@ -1,0 +1,104 @@
+"""Micro-probe: where does the pair record gather's time go?
+
+At c4 shapes the camera build_pairs costs ~46 ms more than the same
+prep with the record gather DCE'd (stage_times prep vs prep_ng).
+Candidates: the (P,)-needle gather over the (T+1, rec_rows) f32 table,
+vs the (n_slices, 128, rec) -> (n_slices, rec, 128) minor-dim
+transpose. This probe times each piece and layout variants in
+isolation with the steady-scan protocol.
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def steady_ms(make_fn, frames=6, reps=4):
+    def run(n):
+        f = make_fn(n)
+        t0 = time.time()
+        float(f())
+        comp = time.time() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(f())
+            ts.append(time.time() - t0)
+        return float(np.median(ts)), comp
+
+    (t1, c1), (t2, c2) = run(1), run(max(frames, 2))
+    return (t2 - t1) / (max(frames, 2) - 1) * 1000.0, c1 + c2
+
+
+def main():
+    T = 1030400          # c4 triangle count
+    P = 512 * 1024       # c4 max_pairs
+    REC = 48             # fused rec_rows
+    key = jax.random.PRNGKey(0)
+    rec16 = jax.device_put(jax.random.normal(key, (T + 1, REC), jnp.float32))
+    rec16_t = jax.device_put(rec16.T)  # (REC, T+1)
+    stri = jax.device_put(
+        jax.random.randint(jax.random.PRNGKey(1), (P,), 0, T + 1, jnp.int32))
+    n_slices = P // 128
+
+    def scan_probe(body):
+        def make(n):
+            @jax.jit
+            def f():
+                def step(c, _):
+                    out = body(stri ^ c)  # perturb needles so no hoist
+                    return c + 1, out
+                _, outs = jax.lax.scan(step, jnp.int32(0), None, length=n)
+                return jnp.sum(outs)
+            return f
+        return make
+
+    def g_plain(s):
+        s = jnp.clip(s, 0, T)
+        return jnp.sum(rec16[s])
+
+    def g_transpose(s):
+        s = jnp.clip(s, 0, T)
+        pr = rec16[s]
+        recs = pr.reshape(n_slices, 128, REC).transpose(0, 2, 1)
+        return jnp.sum(recs[:, :, ::7])
+
+    def g_tabT(s):
+        s = jnp.clip(s, 0, T)
+        pr = rec16_t[:, s]                       # (REC, P) lane gather
+        recs = pr.reshape(REC, n_slices, 128).transpose(1, 0, 2)
+        return jnp.sum(recs[:, :, ::7])
+
+    def g_16rows(s):
+        s = jnp.clip(s, 0, T)
+        pr = rec16[s, :16]
+        recs = pr.reshape(n_slices, 128, 16).transpose(0, 2, 1)
+        return jnp.sum(recs[:, :, ::7])
+
+    def g_bf16(s):
+        s = jnp.clip(s, 0, T)
+        pr = rec16.astype(jnp.bfloat16)[s]
+        recs = pr.reshape(n_slices, 128, REC).transpose(0, 2, 1)
+        return jnp.sum(recs[:, :, ::7].astype(jnp.f32)
+                       if hasattr(jnp, 'f32') else
+                       recs[:, :, ::7].astype(jnp.float32))
+
+    probes = {"gather_only": g_plain,
+              "gather+transpose": g_transpose,
+              "tabT_lane_gather": g_tabT,
+              "gather16rows+t": g_16rows,
+              "bf16_gather+t": g_bf16}
+    names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(probes)
+    for name in names:
+        ms, comp = steady_ms(scan_probe(probes[name]))
+        print({"probe": name, "ms": round(ms, 2), "compile_s": round(comp, 1)},
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -193,6 +193,45 @@ def main():
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
+    def prep_ng_fn(scene, view, dt):
+        # prep with the records sum dropped: XLA DCEs the pair-ordered
+        # record gather, isolating its cost as (prep - prep_ng).
+        setup, world_p, n_world = vertex_setup(scene, view, dt)
+        setup, extra = compact_then_extra(scene, setup, world_p, n_world)
+        pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
+                            expand=config.pair_expand, extra=extra,
+                            max_pairs=config.max_pairs,
+                            sort_z=bool(args.zsort),
+                            ysort_sub_rows=(config.sub_rows
+                                            if args.ysort else None))
+        return jnp.sum(pairs.starts) + jnp.sum(pairs.pair_tri)
+
+    def vtx_fn(scene, view, dt):
+        # vertex transform + cull + triangle_setup only.
+        setup, world_p, n_world = vertex_setup(scene, view, dt)
+        return (jnp.sum(setup.edge[:, 0, 0]) + jnp.sum(world_p[:, 0])
+                + jnp.sum(n_world[:, 0]))
+
+    def cext_fn(scene, view, dt):
+        # vertex + compact + fused-extra build (prep minus build_pairs).
+        setup, world_p, n_world = vertex_setup(scene, view, dt)
+        setup, extra = compact_then_extra(scene, setup, world_p, n_world)
+        return (jnp.sum(setup.edge[:, 0, 0]) + jnp.sum(extra[:, 0]))
+
+    def shsetup_fn(scene, view, dt):
+        # shadow vertex + setup + compact (shprep minus build_pairs).
+        world_p = apply_mat4_point(view.model, scene.pair_pos)
+        clip_sh = apply_mat4_h(view.shadow_space, world_p)
+        setup = triangle_setup(
+            clip_sh[scene.tri_vtx] + dt, config.shadowmap_dim,
+            config.shadowmap_dim, two_sided=True,
+            valid_mask=scene.tri_valid,
+            depth_bias=(config.shadow_bias_constant,
+                        config.shadow_bias_slope),
+        )
+        setup, _ = maybe_compact(setup, None)
+        return jnp.sum(setup.edge[:, 0, 0])
+
     def make_scan(body):
         def make(n):
             @jax.jit
@@ -214,6 +253,14 @@ def main():
             ms, comp = steady_ms(make_scan(prep_fn), frames=args.frames)
         elif name == "shprep":
             ms, comp = steady_ms(make_scan(sh_prep_fn), frames=args.frames)
+        elif name == "prep_ng":
+            ms, comp = steady_ms(make_scan(prep_ng_fn), frames=args.frames)
+        elif name == "vtx":
+            ms, comp = steady_ms(make_scan(vtx_fn), frames=args.frames)
+        elif name == "cext":
+            ms, comp = steady_ms(make_scan(cext_fn), frames=args.frames)
+        elif name == "shsetup":
+            ms, comp = steady_ms(make_scan(shsetup_fn), frames=args.frames)
         elif name == "kernel":
             def body(scene, view, dt, _=None):
                 setup, world_p, n_world = vertex_setup(scene, view, 0.0)
