@@ -262,3 +262,45 @@ def test_aligned_bins_match_unaligned(rng):
                                  interpret=True)
         np.testing.assert_array_equal(np.asarray(da), np.asarray(du))
         np.testing.assert_array_equal(np.asarray(ta), np.asarray(tu))
+
+
+def test_pairs_gather_pack_exact(rng):
+    """Packed record gather (build_pairs gather_pack=G): G-rows-per-row
+    relayout + one wide gather + group select must reproduce the plain
+    single-gather record stream bit-for-bit, including tables whose row
+    count is not a multiple of G, under caps/z-sort/y-sort."""
+    from zeldaengine_tpu.ops.rasterize_pallas import build_pairs
+
+    setup = _random_setup(rng, n=301)  # 302-row table, not G-aligned
+    for kw in ({}, {"sort_z": True}, {"max_pairs": 512},
+               {"sort_z": True, "ysort_sub_rows": 8}):
+        p1 = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
+                         gather_pack=1, **kw)
+        for g in (4, 8):
+            pg = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
+                             gather_pack=g, **kw)
+            np.testing.assert_array_equal(np.asarray(pg.records),
+                                          np.asarray(p1.records))
+            np.testing.assert_array_equal(np.asarray(pg.pair_tri),
+                                          np.asarray(p1.pair_tri))
+
+
+def test_pairs_gather_chunks_exact(rng):
+    """Chunked record gather (build_pairs gather_chunks=G): G contiguous
+    row-slice gathers + selects must reproduce the single-gather record
+    stream bit-for-bit, for chunk counts that divide the table unevenly
+    and under caps/z-sort/y-sort."""
+    from zeldaengine_tpu.ops.rasterize_pallas import build_pairs
+
+    setup = _random_setup(rng, n=301)  # odd count -> uneven chunks
+    for kw in ({}, {"sort_z": True}, {"max_pairs": 512},
+               {"sort_z": True, "ysort_sub_rows": 8}):
+        p1 = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
+                         gather_chunks=1, **kw)
+        for g in (3, 4, 8):
+            pg = build_pairs(setup, W, H, TILE_H, TILE_W, expand=8,
+                             gather_chunks=g, **kw)
+            np.testing.assert_array_equal(np.asarray(pg.records),
+                                          np.asarray(p1.records))
+            np.testing.assert_array_equal(np.asarray(pg.pair_tri),
+                                          np.asarray(p1.pair_tri))

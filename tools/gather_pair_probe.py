@@ -88,11 +88,57 @@ def main():
                        if hasattr(jnp, 'f32') else
                        recs[:, :, ::7].astype(jnp.float32))
 
+    def make_chunked(n_chunks):
+        # G contiguous row-slices of the table (free slices, no relayout),
+        # one fast-tier gather each with clamped needles, mask-selected.
+        # Row count per gather drops G-fold; needles/channels unchanged.
+        nc = -(-(T + 1) // n_chunks)
+
+        def g(s):
+            s = jnp.clip(s, 0, T)
+            out = None
+            for c in range(n_chunks):
+                lo = c * nc
+                sub = jax.lax.dynamic_slice_in_dim(
+                    rec16, lo, min(nc, T + 1 - lo), 0)
+                part = sub[jnp.clip(s - lo, 0, sub.shape[0] - 1)]
+                out = part if out is None else jnp.where(
+                    (s >= lo)[:, None], part, out)
+            recs = out.reshape(n_slices, 128, REC).transpose(0, 2, 1)
+            return jnp.sum(recs[:, :, ::7])
+
+        return g
+
+    # Packed rows: (T+1, REC) relaid to (rows/G, G*REC) once (outside the
+    # timed body via device_put below), then ONE wide gather + G-way
+    # group select. Measures the gather+select; the relayout is a
+    # scene-build-time cost.
+    GP = 8
+    rows_p = -(-(T + 1) // GP) * GP
+    rec_pad = jnp.concatenate(
+        [rec16, jnp.zeros((rows_p - (T + 1), REC), jnp.float32)], axis=0)
+    rec_packed = jax.device_put(
+        jnp.asarray(np.asarray(rec_pad).reshape(rows_p // GP, GP * REC)))
+
+    def g_packed(s):
+        s = jnp.clip(s, 0, T)
+        wide = rec_packed[s // GP]            # (P, GP*REC)
+        grp = s % GP
+        out = wide[:, :REC]
+        for g in range(1, GP):
+            out = jnp.where((grp == g)[:, None],
+                            wide[:, g * REC:(g + 1) * REC], out)
+        recs = out.reshape(n_slices, 128, REC).transpose(0, 2, 1)
+        return jnp.sum(recs[:, :, ::7])
+
     probes = {"gather_only": g_plain,
               "gather+transpose": g_transpose,
               "tabT_lane_gather": g_tabT,
               "gather16rows+t": g_16rows,
-              "bf16_gather+t": g_bf16}
+              "bf16_gather+t": g_bf16,
+              "chunk4": make_chunked(4),
+              "chunk8": make_chunked(8),
+              "packed8": g_packed}
     names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(probes)
     for name in names:
         ms, comp = steady_ms(scan_probe(probes[name]))

@@ -68,6 +68,10 @@ def main():
                     help="occlusion early-out in the pair walks")
     ap.add_argument("--ysort", type=int, default=1,
                     help="y-bucketed bins + sub-block window skip")
+    ap.add_argument("--gchunks", type=int, default=1,
+                    help="build_pairs gather_chunks (0=auto, 1=plain)")
+    ap.add_argument("--gpack", type=int, default=1,
+                    help="build_pairs gather_pack (0=auto, 1=plain)")
     args = ap.parse_args()
 
     import jax
@@ -168,7 +172,9 @@ def main():
                             max_pairs=config.max_pairs,
                             sort_z=bool(args.zsort),
                             ysort_sub_rows=(config.sub_rows
-                                            if args.ysort else None))
+                                            if args.ysort else None),
+                            gather_chunks=args.gchunks,
+                            gather_pack=args.gpack)
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -189,8 +195,31 @@ def main():
                             expand=config.pair_expand_shadow,
                             max_pairs=config.max_pairs_shadow,
                             ysort_sub_rows=(config.sub_rows
-                                            if args.ysort else None))
+                                            if args.ysort else None),
+                            gather_chunks=args.gchunks,
+                            gather_pack=args.gpack)
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
+                + jnp.sum(pairs.pair_tri))
+
+    def prep_full_fn(scene, view, dt):
+        # prep with the records stream FULLY consumed (sum over all
+        # rows/slices). The plain prep stage's records[:, 0, :] slice
+        # lets XLA narrow the record gather to ~1 channel, so a record-
+        # layout A/B is invisible there; this stage forces all rec_rows
+        # channels through the gather. (The layout transpose itself is
+        # algebraically removed under a full sum — this isolates the
+        # GATHER, not the transpose.)
+        setup, world_p, n_world = vertex_setup(scene, view, dt)
+        setup, extra = compact_then_extra(scene, setup, world_p, n_world)
+        pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
+                            expand=config.pair_expand, extra=extra,
+                            max_pairs=config.max_pairs,
+                            sort_z=bool(args.zsort),
+                            ysort_sub_rows=(config.sub_rows
+                                            if args.ysort else None),
+                            gather_chunks=args.gchunks,
+                            gather_pack=args.gpack)
+        return (jnp.sum(pairs.records) * 1e-6 + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
     def prep_ng_fn(scene, view, dt):
@@ -203,7 +232,9 @@ def main():
                             max_pairs=config.max_pairs,
                             sort_z=bool(args.zsort),
                             ysort_sub_rows=(config.sub_rows
-                                            if args.ysort else None))
+                                            if args.ysort else None),
+                            gather_chunks=args.gchunks,
+                            gather_pack=args.gpack)
         return jnp.sum(pairs.starts) + jnp.sum(pairs.pair_tri)
 
     def vtx_fn(scene, view, dt):
@@ -253,6 +284,9 @@ def main():
             ms, comp = steady_ms(make_scan(prep_fn), frames=args.frames)
         elif name == "shprep":
             ms, comp = steady_ms(make_scan(sh_prep_fn), frames=args.frames)
+        elif name == "prep_full":
+            ms, comp = steady_ms(make_scan(prep_full_fn),
+                                 frames=args.frames)
         elif name == "prep_ng":
             ms, comp = steady_ms(make_scan(prep_ng_fn), frames=args.frames)
         elif name == "vtx":
@@ -273,7 +307,9 @@ def main():
                                     sort_z=bool(args.zsort),
                                     ysort_sub_rows=(config.sub_rows
                                                     if args.ysort
-                                                    else None))
+                                                    else None),
+                                    gather_chunks=args.gchunks,
+                            gather_pack=args.gpack)
                 # pairs are loop-invariant (hoisted); init_depth carries dt
                 init = jnp.ones((ph, pw), jnp.float32) + dt
                 from zeldaengine_tpu.ops.rasterize_pallas import FUSED_EXTRA
@@ -309,7 +345,9 @@ def main():
                                     sort_z=bool(args.zsort),
                                     ysort_sub_rows=(config.sub_rows
                                                     if args.ysort
-                                                    else None))
+                                                    else None),
+                                    gather_chunks=args.gchunks,
+                            gather_pack=args.gpack)
                 init = jnp.ones((ph, pw), jnp.float32) + dt
                 hz = 1 if args.zsort else 0
                 ne = 34 if name == "kernel1" else 0
@@ -349,7 +387,9 @@ def main():
                                     sort_z=bool(args.zsort),
                                     ysort_sub_rows=(config.sub_rows
                                                     if args.ysort
-                                                    else None))
+                                                    else None),
+                                    gather_chunks=args.gchunks,
+                            gather_pack=args.gpack)
                 init = (jnp.ones((config.shadowmap_dim,
                                   config.shadowmap_dim), jnp.float32)
                         + dt)

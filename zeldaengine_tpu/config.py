@@ -121,6 +121,28 @@ class EngineConfig:
     # gathers in prep (+20 ms at demo scale on TPU, vs ~3 ms of skipped
     # visits — BASELINE.md round 4). Kept for the ledger + tests.
     pair_align: bool = False
+    # Chunked pair record gather (build_pairs gather_chunks): split the
+    # (P,)-needle gather over the record table into G gathers over
+    # contiguous row-slices + G selects. Measured on hardware at c4
+    # shapes (tools/gather_pair_probe.py): plain gather+transpose
+    # 27.2 ms, chunk4 32.2 ms — the per-gather cost is needle-count
+    # bound, not table-row bound, so chunking only adds select traffic.
+    # REJECTED as a default; mechanism kept for the ledger + tests.
+    # 0 = auto (sub-131072-row chunks), 1 = plain gather. Exact for
+    # any value.
+    pair_gather_chunks: int = 1
+    # Packed pair record gather (build_pairs gather_pack): relay the
+    # record table G rows per physical row so one wide gather with
+    # stri//G needles hits a G-fold smaller table, then group-select by
+    # stri%G. Exact. The isolated probe won 2.35x at 75k needles
+    # (tools/gather_pair_probe.py), but IN-ENGINE at c4's 512k needles
+    # it is a wash (prep_full 54.6 -> 53.6 ms, barrier-materialized):
+    # the TPU row gather is NEEDLE-latency bound (~70 ns/needle serial
+    # dynamic-slice loop; 48 channels cost the same as 1), so table
+    # layout doesn't move it. REJECTED as a default (BASELINE.md round
+    # 4); mechanism kept for the ledger + tests. 0 = auto (8 above
+    # 262144 table rows), 1 = plain gather.
+    pair_gather_pack: int = 1
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8

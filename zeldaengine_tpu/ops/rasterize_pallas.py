@@ -173,6 +173,8 @@ def build_pairs(
     sort_z: bool = False,
     align: bool = False,
     ysort_sub_rows: int | None = None,
+    gather_chunks: int = 1,
+    gather_pack: int = 1,
 ) -> PairedTriangles:
     """Compact triangles into exact per-tile pair lists (TPU binning).
 
@@ -218,6 +220,25 @@ def build_pairs(
     scale triangles cover 1 of a tile's 8 sub-blocks, so the dense
     pixels-x-pairs product drops up to 8x. Exact: a triangle's coverage
     outside its binning bbox is empty by construction.
+
+    ``gather_chunks``: split the pair record gather into G gathers over
+    CONTIGUOUS row-slices of the record table (free slices — no
+    relayout), each with needles clamped into its slice, mask-selected
+    by chunk ownership. Exact for any G. Measured at c4 shapes
+    (tools/gather_pair_probe.py, real TPU): plain 27.2 ms vs chunk4
+    32.2 ms — REJECTED as a default (the per-gather cost follows the
+    needle count, so G sub-gathers only add select traffic); kept for
+    the ledger + tests.
+
+    ``gather_pack``: pack the record table G rows per physical row
+    ((rows, rec) -> (rows/G, G*rec)) so ONE wide gather with stri//G
+    needles hits a G-fold smaller table, then select the record by
+    stri%G from the G row-groups. Exact for any G. This is the c4 fix:
+    TPU row-gather cost jumps sharply above ~200k table rows, and at
+    config-4 scale (~1M-row table) the probe measures plain
+    gather+transpose = 27.2 ms vs packed8 = 11.58 ms (2.35x). 0 = auto:
+    8 when the table exceeds 262144 rows, else 1 (demo-scale tables
+    keep the plain gather — bit-identical, no relayout cost).
     """
     edge = setup.edge
     t = edge.shape[0]
@@ -440,7 +461,48 @@ def build_pairs(
         sends = off[n_tiles + 1 : n_tiles + n_super + 1]
         gbounds = off[n_tiles + n_super : n_tiles + n_super + 2]
 
-    pair_rec = rec16[stri]  # (P, rec_rows)
+    if gather_pack == 0:  # auto by table size
+        gather_pack = 8 if rec16.shape[0] > 262144 else 1
+    if gather_chunks == 0:  # auto by table size
+        gather_chunks = 1
+        while (gather_chunks < 8
+               and -(-rec16.shape[0] // gather_chunks) > 131072):
+            gather_chunks *= 2
+    if gather_pack > 1:
+        gp = gather_pack
+        n_rows = rec16.shape[0]
+        rows_p = -(-n_rows // gp) * gp
+        rec_p = rec16 if rows_p == n_rows else jnp.concatenate(
+            [rec16, jnp.zeros((rows_p - n_rows, rec_rows), rec16.dtype)],
+            axis=0)
+        packed = rec_p.reshape(rows_p // gp, gp * rec_rows)
+        # Materialize the packed table: without the barrier XLA fuses
+        # the reshape into the gather and the physical gather still
+        # walks the tall unpacked layout (measured: no win at c4; the
+        # isolated probe with a materialized table wins 2.35x).
+        packed = jax.lax.optimization_barrier(packed)
+        wide = packed[stri // gp]  # (P, gp*rec_rows) — small-table tier
+        grp = stri % gp
+        pair_rec = jax.lax.slice_in_dim(wide, 0, rec_rows, axis=1)
+        for c in range(1, gp):
+            pair_rec = jnp.where(
+                (grp == c)[:, None],
+                jax.lax.slice_in_dim(wide, c * rec_rows,
+                                     (c + 1) * rec_rows, axis=1),
+                pair_rec)
+    elif gather_chunks > 1:
+        n_rows = rec16.shape[0]
+        nc = -(-n_rows // gather_chunks)
+        pair_rec = None
+        for c in range(gather_chunks):
+            lo = c * nc
+            sub = jax.lax.slice_in_dim(
+                rec16, lo, min(lo + nc, n_rows), axis=0)
+            part = sub[jnp.clip(stri - lo, 0, sub.shape[0] - 1)]
+            pair_rec = part if pair_rec is None else jnp.where(
+                (stri >= lo)[:, None], part, pair_rec)
+    else:
+        pair_rec = rec16[stri]  # (P, rec_rows)
     n_slices = pair_rec.shape[0] // 128
     records = pair_rec.reshape(n_slices, 128, rec_rows).transpose(0, 2, 1)
     return PairedTriangles(

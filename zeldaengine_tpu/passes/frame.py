@@ -112,7 +112,9 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
                             max_pairs=config.max_pairs,
                             sort_z=config.raster_zsort,
                             align=config.pair_align,
-                            ysort_sub_rows=ysr)
+                            ysort_sub_rows=ysr,
+                            gather_chunks=config.pair_gather_chunks,
+                            gather_pack=config.pair_gather_pack)
         if cidx is not None:
             pairs = remap_pair_tri(pairs, cidx, orig_t)
         depth, tid = rasterize_pairs(
@@ -212,7 +214,9 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
                         extra=extra, max_pairs=config.max_pairs,
                         sort_z=config.raster_zsort,
                         align=config.pair_align,
-                        ysort_sub_rows=ysr)
+                        ysort_sub_rows=ysr,
+                        gather_chunks=config.pair_gather_chunks,
+                        gather_pack=config.pair_gather_pack)
     if cidx is not None:
         pairs = remap_pair_tri(pairs, cidx, orig_t)
     depth, tid, planes = rasterize_pairs_fused(
@@ -264,7 +268,9 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                             max_pairs=config.max_pairs_shadow,
                             sort_z=config.raster_zsort,
                             align=config.pair_align,
-                            ysort_sub_rows=ysr)
+                            ysort_sub_rows=ysr,
+                            gather_chunks=config.pair_gather_chunks,
+                            gather_pack=config.pair_gather_pack)
         return rasterize_pairs(
             pairs, height, dim, tile_h=s_th, tile_w=s_tw,
             sub_rows=config.sub_rows, depth_only=True, y0_tiles=y0_tiles,
