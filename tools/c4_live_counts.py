@@ -61,10 +61,23 @@ def main():
         cam_pairs = pairs.overflow + 128
 
         clip_sh = apply_mat4_h(view.shadow_space, world_p)
+        # Mirror the engine's shadow prep (passes/frame.py): LIGHT
+        # frustum meshlet cull + optional light-apex cone test; camera
+        # culling must not apply (geometry behind the camera casts).
+        sh_valid = scene.tri_valid
+        sp_model = jnp.matmul(view.shadow_space, view.model,
+                              precision=jax.lax.Precision.HIGHEST)
+        light_pos = view.dir_lights[0, 0, :3]
+        vis_sh = meshlet_cull(scene.meshlet_records, sp_model, light_pos,
+                              model=view.model,
+                              cone=config.shadow_cone_cull)
+        tri_vis_sh = expand_meshlet_mask(
+            vis_sh, jnp.maximum(scene.tri_meshlet, 0))
+        sh_valid = sh_valid & (tri_vis_sh | (scene.tri_meshlet < 0))
         sh_setup = triangle_setup(
             clip_sh[scene.tri_vtx], config.shadowmap_dim,
             config.shadowmap_dim, two_sided=True,
-            valid_mask=scene.tri_valid,
+            valid_mask=sh_valid,
             depth_bias=(config.shadow_bias_constant,
                         config.shadow_bias_slope))
         sh_live = jnp.sum(sh_setup.valid.astype(jnp.int32))

@@ -131,7 +131,32 @@ def main():
         recs = out.reshape(n_slices, 128, REC).transpose(0, 2, 1)
         return jnp.sum(recs[:, :, ::7])
 
+    # Full-needle variants: consume EVERY gathered element (jnp.sum of
+    # the raw gather output) so XLA cannot narrow the needle set the
+    # way the ``[:, :, ::7]`` consumption above lets it (7x). These are
+    # the numbers that transfer in-engine (BASELINE.md round 4).
+    def g_rows_full(s):
+        s = jnp.clip(s, 0, T)
+        return jnp.sum(rec16[s])
+
+    # 48 separate 1-D gathers (table column-major): each table column is
+    # (T+1,) f32 = 4 MB — small enough that the lowering may vectorize
+    # where the 2-D row gather serializes per needle.
+    rec_cols = [jax.device_put(jnp.asarray(np.asarray(rec16[:, r])))
+                for r in range(REC)]
+
+    def g_cols_full(s):
+        s = jnp.clip(s, 0, T)
+        return sum(jnp.sum(col[s]) for col in rec_cols)
+
+    def g_laneT_full(s):
+        s = jnp.clip(s, 0, T)
+        return jnp.sum(rec16_t[:, s])
+
     probes = {"gather_only": g_plain,
+              "rows_full": g_rows_full,
+              "cols_full": g_cols_full,
+              "laneT_full": g_laneT_full,
               "gather+transpose": g_transpose,
               "tabT_lane_gather": g_tabT,
               "gather16rows+t": g_16rows,
