@@ -84,41 +84,51 @@ def _steady_loop(render, scene, make_view, frames):
     return (t2 - t1) / (n2 - n1), compile_s[0]
 
 
-def _run_all(argv_rest) -> None:
+def _run_all(argv_rest, headline_last: bool = False) -> None:
     """--all: run every BASELINE config as a subprocess (fresh process =
     honest compile/caching behavior per config) and print one JSON line
     each. With --record, append a dated table to BASELINE.md so a config
-    regression can never hide for a round (VERDICT r3 #3)."""
+    regression can never hide for a round (VERDICT r3 #3).
+
+    ``headline_last``: the driver-invocation mode (bare ``python
+    bench.py``) — configs 1/2/4/5 report to STDERR, config 3 runs LAST
+    and its JSON line is the only stdout output (the driver parses
+    stdout's tail), and the full table is always recorded. A failing
+    side config never blocks the headline line (VERDICT r4 #7)."""
     import os
     import subprocess
     import sys
 
-    record = "--record" in argv_rest
+    record = "--record" in argv_rest or headline_last
     rest = [a for a in argv_rest if a != "--record"]
     here = os.path.dirname(os.path.abspath(__file__))
+    order = (1, 2, 4, 5, 3) if headline_last else (1, 2, 3, 4, 5)
     lines = []
-    for c in (1, 2, 3, 4, 5):
+    for c in order:
         cmd = [sys.executable, os.path.join(here, "bench.py"),
                "--config", str(c)]
         if c in (1, 2, 4):
             cmd.append("--steady")
         cmd += rest
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=7200)
-        out = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        r = None
         try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=7200 if c == 3 else 3600)
+            out = (r.stdout.strip().splitlines() or ["{}"])[-1]
             parsed = json.loads(out)
-        except json.JSONDecodeError:
+        except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
+            err = (r.stdout + r.stderr) if r is not None else str(e)
             parsed = {"metric": f"config {c}", "value": None,
-                      "error": (r.stdout + r.stderr)[-400:]}
-        print(json.dumps(parsed), flush=True)
+                      "error": str(err)[-400:]}
+        stream = sys.stderr if (headline_last and c != 3) else sys.stdout
+        print(json.dumps(parsed), file=stream, flush=True)
         lines.append((c, parsed))
     if record:
         import datetime
 
         rows = ["", f"## bench --all {datetime.date.today()}", "",
                 "| # | metric | value | frame_ms | per_dispatch_ms |", "|---|---|---|---|---|"]
-        for c, p in lines:
+        for c, p in sorted(lines):
             d = p.get("detail", {})
             rows.append(
                 f"| {c} | {p.get('metric')} | {p.get('value')} "
@@ -132,6 +142,12 @@ def _run_all(argv_rest) -> None:
 def main() -> None:
     import sys
 
+    if len(sys.argv) == 1:
+        # Bare `python bench.py` = the driver's end-of-round command:
+        # run ALL five configs (so BASELINE.md records every row, every
+        # round) but keep stdout's last line the headline config-3 JSON.
+        _run_all([], headline_last=True)
+        return
     if "--all" in sys.argv[1:]:
         _run_all([a for a in sys.argv[1:] if a != "--all"])
         return

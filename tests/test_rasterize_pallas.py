@@ -236,6 +236,44 @@ def test_ysort_window_skip_exact_vs_reference(rng):
         assert np.array_equal(np.asarray(do), np.asarray(dref))
 
 
+def test_early_out_plus_ysort_exact(rng):
+    """early_out combined with y-bucketed bins (ADVICE r4 #2): ysort's
+    within-bin key is (y-bucket << zbits | zq), so zq is NOT monotone
+    across a bin and the occlusion stop test would skip nearer pairs in
+    later y-buckets. The kernel must force early-out OFF when the
+    sub-block window skip is active — requesting both must still yield
+    bit-exact depth/winners vs the jnp reference."""
+    import jax.numpy as jnp
+
+    from zeldaengine_tpu.ops.rasterize import (
+        rasterize_depth, rasterize_visibility, triangle_setup)
+    from zeldaengine_tpu.ops.rasterize_pallas import (
+        build_pairs, rasterize_pairs)
+
+    T, H, W = 300, 64, 128
+    v = rng.uniform(-1.2, 1.2, (T, 3, 4)).astype(np.float32)
+    v[..., 3] = rng.uniform(0.5, 3.0, (T, 3)).astype(np.float32)
+    v[..., 2] = rng.uniform(0.0, 1.0, (T, 3)) * v[..., 3]
+    setup = triangle_setup(jnp.asarray(v), W, H)
+    d_ref, t_ref = rasterize_visibility(setup, H, W, chunk=64)
+    dref = rasterize_depth(setup, H, W, chunk=64)
+    th, tw, sub = 16, 32, 4
+    pairs = build_pairs(setup, W, H, th, tw, expand=8,
+                        sort_z=True, ysort_sub_rows=sub)
+    for stride in (1, 4):
+        d, t = rasterize_pairs(
+            pairs, H, W, tile_h=th, tile_w=tw, sub_rows=sub,
+            interpret=True, early_out=True, z_row=12, eo_stride=stride,
+            y_row=13)
+        assert np.array_equal(np.asarray(d), np.asarray(d_ref))
+        assert np.array_equal(np.asarray(t), np.asarray(t_ref))
+        do = rasterize_pairs(
+            pairs, H, W, tile_h=th, tile_w=tw, sub_rows=sub,
+            depth_only=True, interpret=True, early_out=True, z_row=12,
+            eo_stride=stride, y_row=13)
+        assert np.array_equal(np.asarray(do), np.asarray(dref))
+
+
 def test_aligned_bins_match_unaligned(rng):
     """Slice-aligned pair bins (build_pairs align=True, the default)
     must rasterize identically to the unaligned stream — pad lanes hold

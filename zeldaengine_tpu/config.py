@@ -167,6 +167,9 @@ class EngineConfig:
     # LOSS everywhere tried (demo ranges are 2-3 slices deep; config-4
     # tiles never fully cover, so the per-test cross-lane reduction
     # (+5.7 ms at c4) buys almost no skipped visits — BASELINE.md r4).
+    # NOTE: automatically disabled while ``raster_ysort`` is active —
+    # y-bucketed bins break the z monotonicity the stop test needs
+    # (rasterize_pallas do_eo; ADVICE r4 #2).
     raster_early_out: bool = False
     early_out_stride: int = 4
     # Reflection IBL gather at half resolution + bilinear upsample (the

@@ -282,7 +282,16 @@ class Engine:
                     item = self._present_q.get()
                     if item is None:
                         return
-                    host = np.asarray(item)
+                    try:
+                        host = np.asarray(item)
+                    except Exception:  # noqa: BLE001 — device error mid-
+                        # transfer must not silently kill the thread (the
+                        # tick would then spin forever waiting on a frame
+                        # that never arrives); log, skip this frame, keep
+                        # serving. The waiter below also has a synchronous
+                        # fallback if the thread ever dies anyway.
+                        LOG.exception("[PRESENT] frame fetch failed")
+                        continue
                     with self._latest_cond:
                         self._latest_frame = host
                         self._latest_cond.notify_all()
@@ -292,9 +301,18 @@ class Engine:
             self._fetch_thread.start()
         self._present_q.put(device_img)
         with self._latest_cond:
+            deadline = time.time() + 60.0
             while self._latest_frame is None:
-                self._latest_cond.wait(60.0)
+                if not self._fetch_thread.is_alive() \
+                        or time.time() >= deadline:
+                    break
+                self._latest_cond.wait(1.0)
             img = self._latest_frame
+        if img is None:
+            # Fetch thread dead or timed out: present synchronously.
+            img = np.asarray(device_img)
+            with self._latest_cond:
+                self._latest_frame = img
         # A resize/rebuild mid-pipeline may leave one stale-shaped frame;
         # serve the freshly queued one synchronously instead.
         if img.shape[:2] != (self.config.height, self.config.width):

@@ -1198,7 +1198,14 @@ def rasterize_pairs(
         init_depth = pack_block_layout(init_depth, tile_h, tile_w,
                                        sub_rows)
 
-    do_eo = early_out and z_row >= 0 and winner == "accwide"
+    # Early-out is UNSOUND combined with y-bucketed bins: with ysort the
+    # within-bin key is (y-bucket << zbits) | zq, so zq is NOT monotone
+    # across a bin's slices — a later y-bucket's slice can hold pairs
+    # nearer than the current slice's max z-bucket, and stopping on
+    # (eff_max < zb) would skip them (wrong winners). Force it off when
+    # the sub-block window skip is active (ADVICE r4 #2).
+    do_eo = (early_out and z_row >= 0 and winner == "accwide"
+             and y_row < 0)
     kernel = functools.partial(
         _pair_kernel,
         tile_h=tile_h,
@@ -1540,7 +1547,14 @@ def rasterize_pairs_fused(
         init_depth = pack_block_layout(init_depth, tile_h, tile_w,
                                        sub_rows)
 
-    do_eo = early_out and z_row >= 0 and winner == "accwide"
+    # Early-out is UNSOUND combined with y-bucketed bins: with ysort the
+    # within-bin key is (y-bucket << zbits) | zq, so zq is NOT monotone
+    # across a bin's slices — a later y-bucket's slice can hold pairs
+    # nearer than the current slice's max z-bucket, and stopping on
+    # (eff_max < zb) would skip them (wrong winners). Force it off when
+    # the sub-block window skip is active (ADVICE r4 #2).
+    do_eo = (early_out and z_row >= 0 and winner == "accwide"
+             and y_row < 0)
     kernel = functools.partial(
         _pair_fused_kernel,
         tile_h=tile_h,

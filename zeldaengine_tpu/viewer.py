@@ -172,11 +172,16 @@ class EngineViewer:
     frame to JPEG, and serves it to any number of stream clients."""
 
     def __init__(self, engine, port: int = 8090, max_fps: float = 60.0,
-                 quality: int = 85):
+                 quality: int = 85, host: str = "127.0.0.1"):
         from zeldaengine_tpu.livelink.editor import EditorHandler
 
         self.engine = engine
         self.editor = EditorHandler(engine)
+        # Loopback by default, like the livelink TCP server: /editor
+        # dispatches the full editor protocol including RunScript
+        # (arbitrary exec), which must not be reachable from the network
+        # without the user explicitly opting in (--host 0.0.0.0).
+        self.host = host
         self.port = port
         self.max_fps = max_fps
         self.quality = quality
@@ -284,7 +289,7 @@ class EngineViewer:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self._httpd = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._httpd.server_address[1]  # resolve port 0
         threading.Thread(target=self._httpd.serve_forever,
                          daemon=True).start()
@@ -403,6 +408,10 @@ def main() -> None:
 
     ap = argparse.ArgumentParser(description="zeldaengine_tpu live viewer")
     ap.add_argument("--port", type=int, default=8090)
+    ap.add_argument("--host", type=str, default="127.0.0.1",
+                    help="bind address (default loopback; the /editor "
+                         "endpoint can run scripts — only expose it "
+                         "deliberately)")
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--world", type=str, default=None)
@@ -415,12 +424,11 @@ def main() -> None:
     if args.world:
         from zeldaengine_tpu.scene.world import World
 
-        world = World()
-        world.load(path=args.world)
+        world = World(file_path=args.world).load()
     engine = Engine(config=config, world=world,
                     livelink_port=args.livelink_port)
     engine.start()
-    viewer = EngineViewer(engine, port=args.port)
+    viewer = EngineViewer(engine, port=args.port, host=args.host)
     viewer.start()
     print(f"viewer: http://localhost:{viewer.port}/")
     try:
