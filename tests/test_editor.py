@@ -39,7 +39,11 @@ def _small_world():
 
 @pytest.fixture(scope="module")
 def engine():
-    config = TEST_CONFIG.replace(enable_shadow=False, enable_skydome=False)
+    # fifo present: this module asserts WHICH frame a tick returns
+    # (pipelined-previous under frames_in_flight=2); mailbox mode's
+    # unbounded staleness would make that racy.
+    config = TEST_CONFIG.replace(enable_shadow=False, enable_skydome=False,
+                                 present_mode="fifo")
     e = Engine(config=config, world=_small_world(), livelink_port=PORT)
     e.start()
     e.tick()

@@ -26,6 +26,18 @@ class EngineConfig:
     # host round trip overlaps the device render (one frame of latency —
     # the reference's swapchain pipelining). 1 = synchronous present.
     frames_in_flight: int = 2
+    # Present mode (the swapchain mode choice, ZeldaEngine.cpp:6589-6599:
+    # VK_PRESENT_MODE_MAILBOX_KHR preferred, FIFO fallback).
+    #   "mailbox": tick never blocks on the device->host frame fetch —
+    #     a full present queue replaces its stalest pending frame with
+    #     the newest (dropped frames counted in FrameStats.presents_
+    #     dropped), and tick returns the newest COMPLETED frame, however
+    #     old. The render loop runs uncapped at device speed even when
+    #     the host link is slow (a tunneled backend's ~100 ms round trip
+    #     otherwise gates the tick at fetch rate).
+    #   "fifo": tick waits for a completed frame (staleness bounded by
+    #     frames_in_flight) — deterministic, used by tests.
+    present_mode: str = "mailbox"
 
     # Shadow map (ZeldaEngine.cpp:87) and PCF kernel radius (Base.frag:67)
     shadowmap_dim: int = 1024

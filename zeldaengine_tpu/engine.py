@@ -50,6 +50,10 @@ class FrameStats:
     fps: float = 0.0
     triangles: int = 0
     reloads: int = 0
+    # MAILBOX present mode: rendered frames whose host fetch was
+    # superseded by a newer frame before the fetch thread got to them
+    # (the swapchain's discarded mailbox images).
+    presents_dropped: int = 0
     # Per-pass ms breakdown; filled by Engine.profile_passes() (the
     # tracing subsystem the reference lacks, SURVEY.md §5 row 1).
     pass_ms: dict = dataclasses.field(default_factory=dict)
@@ -269,8 +273,15 @@ class Engine:
         thread and return the newest COMPLETED host frame (one-plus frame
         of latency — MAX_FRAMES_IN_FLIGHT semantics, ZeldaEngine.cpp:77).
         The device->host transfer runs on the fetch thread, overlapping
-        the next tick's dispatch; put() blocks at frames_in_flight depth,
-        which is the natural pacing (vkAcquireNextImageKHR)."""
+        the next tick's dispatch.
+
+        FIFO mode: put() blocks at frames_in_flight depth — the natural
+        vkAcquireNextImageKHR pacing, staleness bounded. MAILBOX mode
+        (the reference's preferred swapchain mode, :6589-6599): a full
+        queue drops its stalest PENDING frame for the newest and tick
+        never blocks on the fetch — the render loop runs at device
+        speed even when the host link is slow; only the first-ever
+        frame is waited for (there is nothing to show before it)."""
         import queue
 
         if self._present_q is None:
@@ -299,7 +310,19 @@ class Engine:
             self._fetch_thread = threading.Thread(target=fetch_loop,
                                                   daemon=True)
             self._fetch_thread.start()
-        self._present_q.put(device_img)
+        if self.config.present_mode == "mailbox":
+            while True:
+                try:
+                    self._present_q.put_nowait(device_img)
+                    break
+                except queue.Full:
+                    try:  # replace the stalest pending frame (mailbox)
+                        self._present_q.get_nowait()
+                        self.stats.presents_dropped += 1
+                    except queue.Empty:
+                        pass  # fetch thread raced us; retry the put
+        else:
+            self._present_q.put(device_img)
         with self._latest_cond:
             deadline = time.time() + 60.0
             while self._latest_frame is None:
