@@ -31,6 +31,7 @@ def direct_lighting(
     spot_lights=None,  # (Ls, 4, 4) or None
     n_spot=None,  # () int32
     tiled_points=None,  # (tile_idx, tile_cnt, tile_h, tile_w) or None
+    pallas_points=None,  # (tile_idx, tile_cnt, block_h, interpret) or None
 ):
     """Sum of the light loops (directional applies the shadow factor,
     point lights do not — Base.frag:86 vs :98).
@@ -110,7 +111,22 @@ def direct_lighting(
         )
 
     acc = accumulate(acc, dir_lights, dir_contrib)
-    if tiled_points is not None:
+    if pallas_points is not None:
+        # Tile-restricted point lights inside a Pallas kernel: VPU work
+        # tracks the culled (light, block) pairs instead of
+        # capacity x pixels; accumulates IN ascending light order onto
+        # the directional partial sum, so skipped lights (exact-zero
+        # falloff beyond radius) leave the sum bit-for-bit intact.
+        from zeldaengine_tpu.ops.lighting_pallas import (
+            point_lighting_pallas)
+
+        tile_idx, tile_cnt, block_h, interp = pallas_points
+        acc = point_lighting_pallas(
+            acc, diffuse_color, roughness, n, p, v, ndotv,
+            point_lights, tile_idx, tile_cnt, block_h=block_h,
+            interpret=interp,
+        )
+    elif tiled_points is not None:
         tile_idx, tile_cnt, lt_h, lt_w = tiled_points
         acc = acc + _point_lighting_tiled(
             diffuse_color, roughness, n, p, v, ndotv,
@@ -443,7 +459,7 @@ def shade_pixels(
     base_color, metallic, roughness, normal, ao, world_pos,
     shadow_factor, view, cube_atlas, cubemap_size, tiled_points=None,
     env_fetch=None, ablate: str = "", cube_pair1=None,
-    refl_half: bool = False, cube_const=None,
+    refl_half: bool = False, cube_const=None, pallas_points=None,
 ):
     """Full lighting shared by forward and deferred paths.
 
@@ -477,6 +493,7 @@ def shade_pixels(
             view.point_lights, view.lights_count[1],
             view.spot_lights, view.lights_count[2],
             tiled_points=tiled_points,
+            pallas_points=pallas_points,
         )
     indirect = diffuse_color / jnp.pi * (ao * 0.3 * shadow_factor)[..., None]
     if "norefl" in ablate:  # diagnostic ablation

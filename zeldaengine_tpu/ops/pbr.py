@@ -17,15 +17,26 @@ def saturate(x):
     return jnp.clip(x, 0.0, 1.0)
 
 
+def pow5(x):
+    """x**5 by repeated squaring, ((x*x)*(x*x))*x — the chain XLA's
+    simplifier produces for pow(x, 5.0) on most backends, written out so
+    every path (XLA and Pallas/Mosaic kernels that mirror these
+    formulas) computes the identical float sequence. Differs from a
+    transcendental pow lowering by ~1e-5 relative — far below the u8
+    swapchain quantum."""
+    x2 = x * x
+    return x2 * x2 * x
+
+
 def f_schlick(f0, f90, u):
     """Common.glsl:134-137 — Fresnel Schlick. f0 may be (..., 3)."""
-    return f0 + (f90 - f0) * jnp.power(1.0 - u, 5.0)
+    return f0 + (f90 - f0) * pow5(1.0 - u)
 
 
 def f_schlick_roughness(f0, cos_theta, roughness):
     """Common.glsl:141-144 — roughness-aware Fresnel for IBL."""
-    return f0 + (jnp.maximum(1.0 - roughness, f0) - f0) * jnp.power(
-        1.0 - cos_theta, 5.0
+    return f0 + (jnp.maximum(1.0 - roughness, f0) - f0) * pow5(
+        1.0 - cos_theta
     )
 
 
