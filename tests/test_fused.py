@@ -140,3 +140,39 @@ def test_fused_narrow_tiles_match(fused_setup, tile_h, tile_w):
     np.testing.assert_allclose(
         np.asarray(planes_n[2:4])[:, cov & same],
         np.asarray(planes_r[2:4])[:, cov & same], atol=2e-4, rtol=2e-4)
+
+
+def test_fused_elided_records_match_full(fused_setup):
+    """Static record elision (need_uv=False + has_combo=False — the
+    textureless flat-normal single-combo scene) must produce identical
+    depth/tid and identical CONSUMED planes (combo constant, color, pos,
+    normal); the uv/lod/derivative planes are zeros by contract."""
+    from zeldaengine_tpu.passes.frame import _fused_extra
+    from zeldaengine_tpu.ops.rasterize_pallas import fused_extra_width
+
+    cfg, scene, meta, setup, world, n_world = fused_setup
+    depth_a, tid_a, planes_a = _fused_run(cfg, scene, setup, world, n_world)
+
+    extra = _fused_extra(scene, setup, world, n_world,
+                         need_uv=False, need_combo=False)
+    assert extra.shape[1] == fused_extra_width(False, False) == 27
+    pairs = build_pairs(setup, cfg.width, cfg.height, cfg.tile_h,
+                        cfg.tile_w, expand=cfg.pair_expand, extra=extra)
+    depth_b, tid_b, planes_b = rasterize_pairs_fused(
+        pairs, cfg.height, cfg.width, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+        sub_rows=cfg.sub_rows, texture_size=cfg.texture_size,
+        interpret=True, need_uv=False, has_combo=False, combo_const=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(tid_b), np.asarray(tid_a))
+    np.testing.assert_allclose(np.asarray(depth_b), np.asarray(depth_a),
+                               atol=1e-7)
+    a = np.asarray(planes_a)
+    b = np.asarray(planes_b)
+    consumed = [0] + list(range(5, 14))  # coverage, color, pos, normal
+    np.testing.assert_allclose(b[consumed], a[consumed], atol=1e-6)
+    # combo plane carries the static constant (this fixture scene has 2
+    # combos — has_combo=False is only VALID for single-combo scenes,
+    # but the kernel contract is checked regardless).
+    assert not np.any(b[1])
+    zeroed = [2, 3, 4] + list(range(14, 24))
+    assert not np.any(b[zeroed])

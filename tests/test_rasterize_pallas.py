@@ -146,10 +146,13 @@ def test_compact_setup_matches_uncompacted(rng):
     d0, t0 = rasterize_pairs(pairs0, H, W, tile_h=TILE_H, tile_w=TILE_W,
                              interpret=True)
 
+    from zeldaengine_tpu.ops.rasterize_pallas import _covers_pixel_center
+
     live = int(np.asarray(
         setup.valid
         & (setup.bbox[:, 2] > setup.bbox[:, 0])
         & (setup.bbox[:, 3] > setup.bbox[:, 1])
+        & _covers_pixel_center(setup.bbox)  # round-5 sub-pixel cull
     ).sum())
     cap = live + 8
     s2, _, idx, ovf = compact_setup(setup, cap)

@@ -284,6 +284,24 @@ VARIANTS = {
                       "max_pairs": 512 * 1024,
                       "max_pairs_shadow": 192 * 1024,
                       "shadow_tile_h": 32, "shadow_tile_w": 128},
+    # Round-5: Pallas tile-restricted point lights (default-on bundle =
+    # t64_pair1; these isolate the kernel + its block-height sweep).
+    **{
+        f"p1_{k}": {
+            "raster": "fused", "pcf_backend": "vmem",
+            "_adaptive_caps": True,
+            "max_pairs": 384 * 1024, "max_pairs_shadow": 256 * 1024,
+            "tile_h": 64, "tile_w": 32, **v,
+        }
+        for k, v in {
+            "punroll": {"point_light_kernel": "unroll"},
+            "pb8": {"point_block_h": 8},
+            "pb40": {"point_block_h": 40},
+            "pb120": {"point_block_h": 120},
+            "pcffix0": {"pcf_fallback_cap": 0},
+            "pcfcoords": {"ablate": "pcfcoords"},
+        }.items()
+    },
     "vm_norefl": {"raster": "fused", "pcf_backend": "vmem",
                   "ablate": "norefl"},
     "vm_nodirect": {"raster": "fused", "pcf_backend": "vmem",

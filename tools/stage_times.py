@@ -72,7 +72,18 @@ def main():
                     help="build_pairs gather_chunks (0=auto, 1=plain)")
     ap.add_argument("--gpack", type=int, default=1,
                     help="build_pairs gather_pack (0=auto, 1=plain)")
+    ap.add_argument("--walk_step", type=int, default=0,
+                    help="override rasterize_pallas.WALK_STEP (0=keep)")
+    ap.add_argument("--fetch_gate", type=int, default=-1,
+                    help="override rasterize_pallas.FETCH_GATE (-1=keep)")
     args = ap.parse_args()
+
+    import zeldaengine_tpu.ops.rasterize_pallas as _rp
+
+    if args.walk_step:
+        _rp.WALK_STEP = args.walk_step
+    if args.fetch_gate >= 0:
+        _rp.FETCH_GATE = bool(args.fetch_gate)
 
     import jax
     import jax.numpy as jnp

@@ -47,6 +47,22 @@ from zeldaengine_tpu.ops.rasterize import TriangleSetup
 
 NO_HIT = 3.0e38  # plain float: jnp constants may not be captured by kernels
 
+# DMA pipeline depth of the slice walks (slots double-buffering records
+# HBM->VMEM). 4 hides HBM latency at demo scale; kept module-level so
+# probes can sweep it.
+N_SLOTS = 4
+
+# Paired-walk step (see _make_walk) and phase-2 per-group fetch gating
+# (_pair_fused_kernel): module-level so stage probes can sweep them.
+WALK_STEP = 2
+FETCH_GATE = True
+
+
+def _walk_step(n_slices: int) -> int:
+    """Paired-walk step (see _make_walk): WALK_STEP unless the stream
+    is too short to copy that many slices."""
+    return WALK_STEP if n_slices >= WALK_STEP else 1
+
 
 class PairedTriangles(NamedTuple):
     """Exact (tile, triangle) pair stream for the pair rasterizer.
@@ -99,6 +115,21 @@ def _super_w(tile_w: int) -> int:
     return max(1, (SUPER_W * 128) // max(tile_w, 1))
 
 
+def _covers_pixel_center(bbox):
+    """EXACT sub-pixel cull: coverage samples pixel CENTERS (x + 0.5 —
+    the kernels' px/py iotas), so a triangle whose bbox straddles no
+    center in x or in y rasterizes zero pixels anywhere. At meshlet
+    scale (config 4: ~1M tris at 1024^2, ~1 px^2 each) a large fraction
+    of live triangles fail this test — culling them shrinks the pair
+    stream, whose per-needle record gather is the c4 wall (BASELINE.md
+    round 4). Conservative: only culls when the bbox PROVABLY contains
+    no center (floor(x1 - 0.5) + 0.5 < x0 means no i + 0.5 in
+    [x0, x1]); never culls a covering triangle."""
+    has_cx = jnp.floor(bbox[:, 2] - 0.5) + 0.5 >= bbox[:, 0]
+    has_cy = jnp.floor(bbox[:, 3] - 0.5) + 0.5 >= bbox[:, 1]
+    return has_cx & has_cy
+
+
 def compact_setup(
     setup: TriangleSetup,
     cap: int,
@@ -124,6 +155,7 @@ def compact_setup(
         setup.valid
         & (setup.bbox[:, 2] > setup.bbox[:, 0])
         & (setup.bbox[:, 3] > setup.bbox[:, 1])
+        & _covers_pixel_center(setup.bbox)
     )
     pos = jnp.cumsum(live.astype(jnp.int32)) - 1
     n_live = jnp.where(live.shape[0] > 0, pos[-1] + 1, 0)
@@ -315,6 +347,7 @@ def build_pairs(
         & (bbox[:, 0] < width)
         & (bbox[:, 3] / tile_h > y0f)
         & (bbox[:, 1] / tile_h < y0f + n_ty)
+        & _covers_pixel_center(bbox)
     )
     nx = (tx1 - tx0 + 1.0)
     ny = (ty1 - ty0 + 1.0)
@@ -619,31 +652,39 @@ def _acc_shape(tile_h: int, tile_w: int, sub_rows: int, winner: str,
     return (tile_h // sub_rows, sub_rows * tile_w)
 
 
-def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
-    """Build a double-buffered slice walker over two pair-index ranges.
+def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots, step: int = 1):
+    """Build a double-buffered slice walker over pair-index ranges.
 
-    Returns ``walk(lo_a, hi_a, lo_b, hi_b, body)``; ``body(j_slot,
-    c_base, lo, hi)`` is called once per 128-pair slice with the slice
-    resident in ``scratch_ref[j_slot]`` and the active pair window
-    [lo, hi) (boundary slices are shared with neighbor ranges/tiles —
-    the body must mask lanes outside the window). Both ranges ride ONE
-    loop so the DMA pipeline never drains between them."""
+    ``step=2`` (the paired walk, round 5): each loop iteration DMAs TWO
+    consecutive slices in one copy and issues the body for both — the
+    per-visit scalar overhead (slice/range pick chains, DMA issue+wait,
+    loop bookkeeping) halves while the vector work is unchanged; the
+    round-3 bisections showed the walks are per-visit ISSUE bound, not
+    math bound. Boundary handling leans on body idempotency: a pair's
+    second slice may spill past its range (masked by [lo, hi)) and the
+    last pair of a short stream clamps backward, re-processing a slice
+    — exact for all three walk bodies (depth min, strict-< winner
+    take, and the phase-2 overwrite-with-same fetch are idempotent).
+    ``scratch_ref`` is (n_slots, step, rec_rows, 128)."""
 
     def walk(ranges, body, init_carry=0):
         """``ranges``: static-length list of (lo, hi) pair-index ranges
         (a tile's dense range — or several column sub-tiles' ranges —
         its supertile range, the global bucket) walked as ONE fori_loop
-        so the DMA pipeline never drains between them. ``body(slot,
-        c_base, lo, hi, ridx, carry) -> carry`` where ``ridx`` is the
-        (traced) index of the range the slice belongs to; boundary
-        slices are shared with neighbor ranges/tiles, so the body must
-        mask lanes outside [lo, hi). Returns the final carry."""
+        so the DMA pipeline never drains between them. ``body(slot, k,
+        c_base, lo, hi, ridx, carry) -> carry`` with the slice resident
+        in ``scratch_ref[slot, k]``; ``ridx`` is the (traced) index of
+        the range the slice belongs to; boundary slices are shared with
+        neighbor ranges/tiles, so the body must mask lanes outside
+        [lo, hi). Returns the final carry."""
+        n_slices = records_hbm.shape[0]
         s0s, cnts = [], []
         for lo, hi in ranges:
             s0s.append(lo // 128)
-            cnts.append(jnp.where(hi > lo, (hi + 127) // 128 - (lo // 128),
-                                  0))
-        # Exclusive prefix of the per-range slice counts.
+            cnt = jnp.where(hi > lo, (hi + 127) // 128 - (lo // 128), 0)
+            cnts.append((cnt + step - 1) // step)
+        # Exclusive prefix of the per-range VISIT counts (step slices
+        # per visit).
         pref = [jnp.int32(0)]
         for c in cnts:
             pref.append(pref[-1] + c)
@@ -656,12 +697,21 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
             return out
 
         def slice_of(j):
-            return pick(j, [s0s[r] + (j - pref[r])
-                            for r in range(len(ranges))])
+            first = pick(j, [s0s[r] + step * (j - pref[r])
+                             for r in range(len(ranges))])
+            # Clamp so the step-wide copy stays in bounds (idempotent
+            # re-processing of an earlier slice).
+            return jnp.maximum(jnp.minimum(first, n_slices - step), 0)
 
         def get_dma(slot, j):
+            if step == 1:
+                return pltpu.make_async_copy(
+                    records_hbm.at[slice_of(j)],
+                    scratch_ref.at[slot, 0],
+                    sem_ref.at[slot],
+                )
             return pltpu.make_async_copy(
-                records_hbm.at[slice_of(j)],
+                records_hbm.at[pl.ds(slice_of(j), step)],
                 scratch_ref.at[slot],
                 sem_ref.at[slot],
             )
@@ -681,11 +731,13 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots):
                 ).start()
 
             get_dma(slot, j).wait()
-            c_base = slice_of(j) * 128
+            s0 = slice_of(j)
             lo = pick(j, [r[0] for r in ranges])
             hi = pick(j, [r[1] for r in ranges])
             ridx = pick(j, [jnp.int32(r) for r in range(len(ranges))])
-            return body(slot, c_base, lo, hi, ridx, carry)
+            for k in range(step):
+                carry = body(slot, k, (s0 + k) * 128, lo, hi, ridx, carry)
+            return carry
 
         return jax.lax.fori_loop(0, n, slice_body, init_carry)
 
@@ -735,8 +787,9 @@ def _pair_kernel(
     n_sx = -(-n_tx // super_w)
     st = (ty // _super_h(tile_h)) * n_sx + (txb * cols // super_w)
 
-    n_slots = 4  # DMA pipeline depth (hides HBM latency across slices)
-    walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
+    n_slots = N_SLOTS
+    walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots,
+                      step=_walk_step(records_hbm.shape[0]))
     ranges = [
         (starts_ref[ty * n_tx + txb * cols + jc],
          ends_ref[ty * n_tx + txb * cols + jc])
@@ -850,7 +903,7 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
 
     base_sub_f = (base_y // sub_rows).astype(jnp.float32)
 
-    def raster_body(slot, c_base, lo, hi, ridx, carry):
+    def raster_body(slot, k, c_base, lo, hi, ridx, carry):
         lane_ok = (
             (lane_f >= (lo - c_base).astype(jnp.float32))
             & (lane_f < (hi - c_base).astype(jnp.float32))
@@ -863,7 +916,7 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
             # (1, 128) row (cheap, unlike the rejected whole-plane
             # early-out reductions); dead/never lanes carry (4095, 0)
             # so they never widen the window.
-            ysr = scratch_ref[slot, y_row : y_row + 1, :]
+            ysr = scratch_ref[slot, k, y_row : y_row + 1, :]
             y1s = jnp.floor(ysr * (1.0 / 4096.0))
             y0s = ysr - y1s * 4096.0
             lo_sb = jnp.min(jnp.where(lane_ok, y0s, 4095.0)) - base_sub_f
@@ -873,9 +926,9 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
 
         def form(r, px, py):
             return (
-                px * scratch_ref[slot, r : r + 1, :]
-                + py * scratch_ref[slot, r + 1 : r + 2, :]
-                + scratch_ref[slot, r + 2 : r + 3, :]
+                px * scratch_ref[slot, k, r : r + 1, :]
+                + py * scratch_ref[slot, k, r + 1 : r + 2, :]
+                + scratch_ref[slot, k, r + 2 : r + 3, :]
             )
 
         def eval_cand(px, py):
@@ -883,9 +936,9 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
             e1 = form(3, px, py)
             e2 = form(6, px, py)
             d = (
-                e0 * scratch_ref[slot, 9:10, :]
-                + e1 * scratch_ref[slot, 10:11, :]
-                + e2 * scratch_ref[slot, 11:12, :]
+                e0 * scratch_ref[slot, k, 9:10, :]
+                + e1 * scratch_ref[slot, k, 10:11, :]
+                + e2 * scratch_ref[slot, k, 11:12, :]
             )
             esum = e0 + e1 + e2
             emin = jnp.minimum(jnp.minimum(e0, e1), e2)
@@ -939,7 +992,7 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
 
             @pl.when(jax.lax.rem(carry, eo_stride) == eo_stride - 1)
             def _test():
-                zrow_v = scratch_ref[slot, z_row : z_row + 1, :]
+                zrow_v = scratch_ref[slot, k, z_row : z_row + 1, :]
                 zb = jnp.max(jnp.where(lane_ok, zrow_v, -NO_HIT))
 
                 def mark(groups):
@@ -1032,7 +1085,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             # hit the slow VPU path.
             acc_t_ref[sb, :] = jnp.full((p_sub,), -1.0, jnp.float32)
 
-    def raster_body(slot, c_base, lo, hi, ridx, carry):
+    def raster_body(slot, k, c_base, lo, hi, ridx, carry):
         # Boundary slices are shared with neighbor tiles: mask lanes
         # whose pair index falls outside the walked range.
         lane_ok = (
@@ -1051,9 +1104,9 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
 
             def form(r):
                 return (
-                    px * scratch_ref[slot, r : r + 1, :]
-                    + py * scratch_ref[slot, r + 1 : r + 2, :]
-                    + scratch_ref[slot, r + 2 : r + 3, :]
+                    px * scratch_ref[slot, k, r : r + 1, :]
+                    + py * scratch_ref[slot, k, r + 1 : r + 2, :]
+                    + scratch_ref[slot, k, r + 2 : r + 3, :]
                 )  # (p_sub, 128)
 
             e0 = form(0)
@@ -1061,9 +1114,9 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             e2 = form(6)
             # Barycentric depth: rows 9-11 hold zc (see module doc).
             d = (
-                e0 * scratch_ref[slot, 9:10, :]
-                + e1 * scratch_ref[slot, 10:11, :]
-                + e2 * scratch_ref[slot, 11:12, :]
+                e0 * scratch_ref[slot, k, 9:10, :]
+                + e1 * scratch_ref[slot, k, 10:11, :]
+                + e2 * scratch_ref[slot, k, 11:12, :]
             )
             esum = e0 + e1 + e2
             inside = (
@@ -1236,8 +1289,9 @@ def rasterize_pairs(
             pl.BlockSpec((tile_h, 128), tile_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, pairs.records.shape[1], 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((N_SLOTS, _walk_step(pairs.records.shape[0]),
+                        pairs.records.shape[1], 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_SLOTS,)),
             pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols),
                        jnp.float32),
             pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols)
@@ -1279,8 +1333,20 @@ def rasterize_pairs(
 #   0-8 edge, 9-11 zc, 12 material-combo id (float VALUE — bitcast int ids
 #   1..63 are f32 denormals the TPU flushes to zero), 13-45 corners
 #   (corner k at 13+11k: uv(2) color(3) world-pos(3) world-normal(3)).
+# Static scene facts shrink the layout (fused_extra_width): a scene with
+# no varying texture channels AND the flat default normal map drops the
+# uv columns (corner_w 11 -> 9; uv/lod/duv/dpos planes are never
+# consumed — the TBN collapses to normalize(frag_normal)); a scene whose
+# live triangles share ONE material combo drops the combo row (the
+# constant rides a static kernel param).
 FUSED_EXTRA = 34
 _FETCH_ROWS = tuple(range(0, 9)) + tuple(range(12, 46))
+
+
+def fused_extra_width(need_uv: bool = True, need_combo: bool = True) -> int:
+    """Width of the fused extra payload under the static elision flags."""
+    corner_w = 11 if need_uv else 9
+    return (1 if need_combo else 0) + 3 * corner_w
 
 # Output attribute planes of the fused kernel, channel-major (C, H, W):
 #   0 covered, 1 combo, 2-3 uv, 4 lod, 5-7 vertex color, 8-10 world pos,
@@ -1319,6 +1385,9 @@ def _pair_fused_kernel(
     z_row: int = -1,
     eo_stride: int = 4,
     y_row: int = -1,
+    need_uv: bool = True,
+    has_combo: bool = True,
+    combo_const: float = 0.0,
 ):
     """Phase 1: exact-pair visibility raster (identical to _pair_kernel).
     Phase 2: re-walk ONLY the slices containing winners (per-range
@@ -1334,6 +1403,13 @@ def _pair_fused_kernel(
     ``cols`` column sub-tiles' dense ranges; phase 2 is column-agnostic
     (a winner pair id identifies its slice regardless of which column it
     won) and only its shrink windows go per-range.
+
+    ``need_uv=False`` (textureless scene with the flat default normal
+    map): the record has no uv columns (corner_w 9) and the uv/lod/
+    duv/dpos output planes — consumed only by the texture tap and TBN —
+    are written as zeros; the whole derivative epilogue is skipped.
+    ``has_combo=False`` (single material combo): no combo record row;
+    plane 1 carries the static ``combo_const``.
     """
     t = pl.program_id(0)
 
@@ -1346,8 +1422,9 @@ def _pair_fused_kernel(
     n_sx = -(-n_tx // super_w)
     st = (ty // _super_h(tile_h)) * n_sx + (txb * cols // super_w)
 
-    n_slots = 4
-    walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots)
+    n_slots = N_SLOTS
+    walk = _make_walk(records_hbm, scratch_ref, sem_ref, n_slots,
+                      step=_walk_step(records_hbm.shape[0]))
 
     dense = [
         (starts_ref[ty * n_tx + txb * cols + jc],
@@ -1387,7 +1464,13 @@ def _pair_fused_kernel(
         shrink(gbounds_ref[0], gbounds_ref[1]),
     ]
 
-    def attr_body(slot, c_base, lo, hi, ridx, carry):
+    corner_w = 11 if need_uv else 9
+    base_r = 12 + (1 if has_combo else 0)
+    fetch_rows = tuple(range(0, 9)) \
+        + ((12,) if has_combo else ()) \
+        + tuple(range(base_r, base_r + 3 * corner_w))
+
+    def attr_body(slot, k, c_base, lo, hi, ridx, carry):
         rel = w - c_base
         hit = (w >= lo) & (w < hi) & (rel >= 0) & (rel < 128)
         relc = jnp.clip(rel, 0, 127)
@@ -1396,20 +1479,37 @@ def _pair_fused_kernel(
         # (a tile's visible surfaces span few slices, but the shrink
         # window must cover them all — near grass AND the far terrain
         # seen between blades land at opposite ends of the range). The
-        # 41-row gather block is the cost; skip it when this slice won
-        # nothing (one cheap any-reduce per visit).
+        # gather block is the cost; skip it when this slice won nothing.
+        # Winners of a slice also concentrate in few PIXEL ROWS (z/y
+        # sorted bins bucket pairs by sub-block), so the fetch is gated
+        # per 8-row group: each group's ~40 gathers run only when the
+        # group holds a winner from this slice — the gather work tracks
+        # hit groups instead of visits x tile_h (round-5).
         @pl.when(jnp.any(hit))
         def _fetch():
-            for c in _FETCH_ROWS:
-                # The (tile_h, 128) broadcast is required: Mosaic's
-                # take_along_axis lowering rejects shape-(1, 128)
-                # operands with (tile_h, 128) indices ("Only 2D gather
-                # is supported" — probed round 4).
-                row = jnp.broadcast_to(
-                    scratch_ref[slot, c : c + 1, :], (tile_h, 128)
-                )
-                g = jnp.take_along_axis(row, relc, axis=1)
-                acc_ref[c] = jnp.where(hit, g, acc_ref[c])
+            gate_h = 8 if FETCH_GATE else tile_h
+            for g0 in range(0, tile_h, gate_h):
+                hit_g = hit[g0:g0 + gate_h]
+
+                def _group(g0=g0, hit_g=hit_g):
+                    relg = relc[g0:g0 + gate_h]
+                    for c in fetch_rows:
+                        # The 2-D broadcast is required: Mosaic's
+                        # take_along_axis lowering rejects shape-(1,128)
+                        # operands with taller indices ("Only 2D gather
+                        # is supported" — probed round 4).
+                        row = jnp.broadcast_to(
+                            scratch_ref[slot, k, c : c + 1, :],
+                            (gate_h, 128)
+                        )
+                        g = jnp.take_along_axis(row, relg, axis=1)
+                        acc_ref[c, pl.ds(g0, gate_h)] = jnp.where(
+                            hit_g, g, acc_ref[c, pl.ds(g0, gate_h)])
+
+                if FETCH_GATE:
+                    pl.when(jnp.any(hit_g))(_group)
+                else:
+                    _group()
         return carry
 
     walk(ranges2, attr_body)
@@ -1445,53 +1545,68 @@ def _pair_fused_kernel(
     b0 = e0 * inv
     b1 = e1 * inv
     b2 = e2 * inv
-    sax = A(0) + A(3) + A(6)
-    say = A(1) + A(4) + A(7)
-    d0x = (A(0) - b0 * sax) * inv
-    d1x = (A(3) - b1 * sax) * inv
-    d2x = (A(6) - b2 * sax) * inv
-    d0y = (A(1) - b0 * say) * inv
-    d1y = (A(4) - b1 * say) * inv
-    d2y = (A(7) - b2 * say) * inv
+
+    # Corner offsets within the (possibly uv-elided) corner payload.
+    off_uv = 0  # only valid when need_uv
+    off_col = 2 if need_uv else 0
+    off_pos = off_col + 3
+    off_nrm = off_pos + 3
 
     def interp(off, w0, w1, w2):
-        return w0 * A(13 + off) + w1 * A(24 + off) + w2 * A(35 + off)
+        return (w0 * A(base_r + off) + w1 * A(base_r + corner_w + off)
+                + w2 * A(base_r + 2 * corner_w + off))
 
-    duvdx0 = interp(0, d0x, d1x, d2x)
-    duvdx1 = interp(1, d0x, d1x, d2x)
-    duvdy0 = interp(0, d0y, d1y, d2y)
-    duvdy1 = interp(1, d0y, d1y, d2y)
-    ts = float(texture_size)
-    foot = jnp.maximum(
-        duvdx0 * duvdx0 + duvdx1 * duvdx1,
-        duvdy0 * duvdy0 + duvdy1 * duvdy1,
-    )
-    lod = jnp.maximum(
-        0.5 * jnp.log2(jnp.maximum(foot * (ts * ts), 1e-12)), 0.0
-    )
-
+    zero = jnp.zeros((tile_h, 128), jnp.float32)
     # Plane 0 packs coverage (+1.0) with the min barycentric weight
     # (edge distance for the wireframe debug mode); b's are zero for
     # uncovered pixels, so the covered test stays plane > 0.5.
     bmin = jnp.minimum(jnp.minimum(b0, b1), b2)
     attr_ref[0] = covered.astype(jnp.float32) * (1.0 + bmin)
-    attr_ref[1] = A(12)
-    attr_ref[2] = interp(0, b0, b1, b2)
-    attr_ref[3] = interp(1, b0, b1, b2)
-    attr_ref[4] = lod
+    attr_ref[1] = A(12) if has_combo else (zero + combo_const)
+    if need_uv:
+        sax = A(0) + A(3) + A(6)
+        say = A(1) + A(4) + A(7)
+        d0x = (A(0) - b0 * sax) * inv
+        d1x = (A(3) - b1 * sax) * inv
+        d2x = (A(6) - b2 * sax) * inv
+        d0y = (A(1) - b0 * say) * inv
+        d1y = (A(4) - b1 * say) * inv
+        d2y = (A(7) - b2 * say) * inv
+        duvdx0 = interp(off_uv + 0, d0x, d1x, d2x)
+        duvdx1 = interp(off_uv + 1, d0x, d1x, d2x)
+        duvdy0 = interp(off_uv + 0, d0y, d1y, d2y)
+        duvdy1 = interp(off_uv + 1, d0y, d1y, d2y)
+        ts = float(texture_size)
+        foot = jnp.maximum(
+            duvdx0 * duvdx0 + duvdx1 * duvdx1,
+            duvdy0 * duvdy0 + duvdy1 * duvdy1,
+        )
+        lod = jnp.maximum(
+            0.5 * jnp.log2(jnp.maximum(foot * (ts * ts), 1e-12)), 0.0
+        )
+        attr_ref[2] = interp(off_uv + 0, b0, b1, b2)
+        attr_ref[3] = interp(off_uv + 1, b0, b1, b2)
+        attr_ref[4] = lod
+        attr_ref[14] = duvdx0
+        attr_ref[15] = duvdx1
+        attr_ref[16] = duvdy0
+        attr_ref[17] = duvdy1
+        for c in range(3):  # dpos/dx, dpos/dy
+            attr_ref[18 + c] = interp(off_pos + c, d0x, d1x, d2x)
+            attr_ref[21 + c] = interp(off_pos + c, d0y, d1y, d2y)
+    else:
+        # No varying textures + flat default normal map: uv/lod/duv/
+        # dpos are consumed by nothing downstream (the TBN collapses to
+        # normalize(frag_normal) — gbuffer._finish_attributes takes the
+        # flat_normal shortcut); write the planes as zeros.
+        for c in (2, 3, 4, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23):
+            attr_ref[c] = zero
     for c in range(3):  # vertex color
-        attr_ref[5 + c] = interp(2 + c, b0, b1, b2)
+        attr_ref[5 + c] = interp(off_col + c, b0, b1, b2)
     for c in range(3):  # world pos
-        attr_ref[8 + c] = interp(5 + c, b0, b1, b2)
+        attr_ref[8 + c] = interp(off_pos + c, b0, b1, b2)
     for c in range(3):  # world normal
-        attr_ref[11 + c] = interp(8 + c, b0, b1, b2)
-    attr_ref[14] = duvdx0
-    attr_ref[15] = duvdx1
-    attr_ref[16] = duvdy0
-    attr_ref[17] = duvdy1
-    for c in range(3):  # dpos/dx, dpos/dy
-        attr_ref[18 + c] = interp(5 + c, d0x, d1x, d2x)
-        attr_ref[21 + c] = interp(5 + c, d0y, d1y, d2y)
+        attr_ref[11 + c] = interp(off_nrm + c, b0, b1, b2)
 
 
 @functools.partial(
@@ -1500,6 +1615,7 @@ def _pair_fused_kernel(
         "height", "width", "tile_h", "tile_w", "sub_rows",
         "texture_size", "interpret", "winner",
         "early_out", "z_row", "eo_stride", "y_row",
+        "need_uv", "has_combo", "combo_const",
     ),
 )
 def rasterize_pairs_fused(
@@ -1518,15 +1634,21 @@ def rasterize_pairs_fused(
     z_row: int = -1,
     eo_stride: int = 4,
     y_row: int = -1,
+    need_uv: bool = True,
+    has_combo: bool = True,
+    combo_const: float = 0.0,
 ):
     """Rasterize + interpolate in one kernel.
 
-    ``pairs`` must be built with ``extra`` = (T, 34) fused payload.
-    Returns (depth, tid, attrs) with tid = ORIGINAL triangle ids and
-    attrs = (ATTR_CH, height, width) float32 planes (layout above).
+    ``pairs`` must be built with ``extra`` = (T, fused_extra_width(
+    need_uv, has_combo)) fused payload. Returns (depth, tid, attrs)
+    with tid = ORIGINAL triangle ids and attrs = (ATTR_CH, height,
+    width) float32 planes (layout above; uv/lod/duv/dpos planes are
+    zeros when ``need_uv`` is off — see _pair_fused_kernel).
     """
     assert 128 % tile_w == 0, \
         "fused kernel tile_w must divide 128 (lane-gather source vreg)"
+    assert tile_h % 8 == 0, tile_h  # phase-2 fetch gating granularity
     cols = 128 // tile_w  # column sub-tiles per 128-px Pallas block
     n_tx = width // tile_w
     n_ty = height // tile_h
@@ -1535,7 +1657,8 @@ def rasterize_pairs_fused(
     n_blocks = n_ty * n_txb
     assert pairs.starts.shape == (n_tiles,)
     rec_rows = pairs.records.shape[1]
-    assert rec_rows >= 46, "fused kernel needs wide records (extra=34)"
+    assert rec_rows >= 12 + fused_extra_width(need_uv, has_combo), (
+        rec_rows, need_uv, has_combo)
     sub_rows = min(sub_rows, tile_h)
     if cols > 1:
         assert winner == "accwide", \
@@ -1568,6 +1691,9 @@ def rasterize_pairs_fused(
         z_row=z_row,
         eo_stride=eo_stride,
         y_row=y_row if winner == "accwide" else -1,
+        need_uv=need_uv,
+        has_combo=has_combo,
+        combo_const=combo_const,
     )
 
     def tile_index(t, *prefetch):
@@ -1589,8 +1715,9 @@ def rasterize_pairs_fused(
             pl.BlockSpec((ATTR_CH, tile_h, 128), attr_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((4, rec_rows, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((N_SLOTS, _walk_step(pairs.records.shape[0]),
+                        rec_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_SLOTS,)),
             pltpu.VMEM((rec_rows, tile_h, 128), jnp.float32),
             pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols),
                        jnp.float32),

@@ -159,21 +159,27 @@ def _maybe_compact(setup, extra, config: EngineConfig):
     return s2, e2, idx, ovf
 
 
-def _fused_extra(scene, setup, world, n_world, tri_idx=None):
-    """Per-triangle fused-record payload (T, 34): material-combo id (as a
-    float value) + 3 corners x (uv2, color3, world-pos3, world-normal3).
-    O(T) host-side-of-the-frame work, replacing the per-PIXEL (H, W, 64)
+def _fused_extra(scene, setup, world, n_world, tri_idx=None,
+                 need_uv: bool = True, need_combo: bool = True):
+    """Per-triangle fused-record payload (T, fused_extra_width(flags)):
+    material-combo id (as a float value, elided when every triangle
+    shares one combo) + 3 corners x (uv2 [elided for textureless
+    flat-normal scenes], color3, world-pos3, world-normal3). O(T)
+    host-side-of-the-frame work, replacing the per-PIXEL (H, W, 64)
     record gather + XLA interpolation the jnp attrs path does.
 
     ``tri_idx``: compacted original-triangle ids (compact_setup) — the
-    33-float corner gather then runs over the CAP rows instead of the
-    full pool (at config-4 scale the extra build for 1M triangles was
-    the single largest prep term; VERDICT r3 #4). Rows whose id is the
-    dead sentinel gather row 0 harmlessly (their records are forced to
-    the never-row by setup.valid)."""
+    corner gather then runs over the CAP rows instead of the full pool
+    (at config-4 scale the extra build for 1M triangles was the single
+    largest prep term; VERDICT r3 #4). Rows whose id is the dead
+    sentinel gather row 0 harmlessly (their records are forced to the
+    never-row by setup.valid)."""
+    static = (scene.pair_static[:, :5] if need_uv
+              else scene.pair_static[:, 2:5])
     pair_all = jnp.concatenate(
-        [scene.pair_static[:, :5], world, n_world], axis=1
-    )  # (P, 11)
+        [static, world, n_world], axis=1
+    )  # (P, 11 or 9)
+    cw = pair_all.shape[1]
     if tri_idx is None:
         n_t = setup.edge.shape[0]
         tv = scene.tri_vtx[:n_t]
@@ -182,15 +188,36 @@ def _fused_extra(scene, setup, world, n_world, tri_idx=None):
         safe = jnp.minimum(tri_idx, scene.tri_vtx.shape[0] - 1)
         tv = scene.tri_vtx[safe]
         mat = scene.tri_meta[safe, 3]
-    corners = pair_all[tv].reshape(tv.shape[0], 33)
+    corners = pair_all[tv].reshape(tv.shape[0], 3 * cw)
+    if not need_combo:
+        return corners
     combo = scene.mat_combined[mat].astype(jnp.float32)
     return jnp.concatenate([combo[:, None], corners], axis=1)
 
 
+def _fused_flags(meta):
+    """Static record-elision flags from scene facts (SceneMeta). The uv
+    columns are elidable only when NOTHING consumes them — and the TBN
+    always does: the reference normalizes the map value BEFORE the 2x-1
+    remap (Common.glsl:126), so even the flat default normal tilts the
+    shading normal along the uv tangent frame (meta.flat_normal stays
+    False; goldens caught the attempted elision). The combo row elides
+    whenever every live triangle shares one combo."""
+    need_uv = not (meta.tex_channels == () and meta.flat_normal)
+    need_combo = meta.const_combo is None
+    combo_const = 0.0 if need_combo else float(meta.const_combo)
+    return need_uv, need_combo, combo_const
+
+
 def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
-                      init_depth=None, y0=0):
+                      init_depth=None, y0=0, meta=None):
     """Fused visibility raster + attribute interpolation: returns
     (depth, tid, attr planes (ATTR_CH, H, W))."""
+    from zeldaengine_tpu.ops.rasterize_pallas import fused_extra_width
+
+    need_uv, need_combo, combo_const = (
+        _fused_flags(meta) if meta is not None else (True, True, 0.0))
+    n_extra = fused_extra_width(need_uv, need_combo)
     ph = _pad_up(height, config.tile_h)
     pw = _pad_up(width, max(config.tile_w, 128))
     if init_depth is not None and (ph != height or pw != width):
@@ -201,12 +228,13 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
     y0_tiles = jnp.asarray(y0, jnp.int32) // config.tile_h
     orig_t = setup.edge.shape[0]
     if callable(extra):
-        # Compact FIRST, then build the 34-column payload for the cap
-        # rows only (the builder receives the compacted original ids).
+        # Compact FIRST, then build the extra payload for the cap rows
+        # only (the builder receives the compacted original ids).
         setup, _, cidx, covf = _maybe_compact(setup, None, config)
         extra = extra(cidx)
     else:
         setup, extra, cidx, covf = _maybe_compact(setup, extra, config)
+    assert extra.shape[1] == n_extra, (extra.shape, n_extra)
     has_z = 1 if config.raster_zsort else 0
     ysr = config.sub_rows if config.raster_ysort else None
     pairs = build_pairs(setup, pw, ph, config.tile_h, config.tile_w,
@@ -224,9 +252,10 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
         tile_w=config.tile_w, sub_rows=config.sub_rows,
         texture_size=config.texture_size, y0_tiles=y0_tiles,
         early_out=config.raster_early_out,
-        z_row=(12 + FUSED_EXTRA) if config.raster_zsort else -1,
+        z_row=(12 + n_extra) if config.raster_zsort else -1,
         eo_stride=config.early_out_stride,
-        y_row=(12 + FUSED_EXTRA + has_z) if ysr else -1,
+        y_row=(12 + n_extra + has_z) if ysr else -1,
+        need_uv=need_uv, has_combo=need_combo, combo_const=combo_const,
     )
     return (depth[:height, :width], tid[:height, :width],
             planes[:, :height, :width], pairs.overflow + covf)
@@ -298,6 +327,10 @@ def _shadow_factor(shadowmap, world_pos, view, config: EngineConfig,
     if "nopcf" in config.ablate:  # diagnostic ablation
         return jnp.ones(world_pos.shape[:-1], jnp.float32)
     sc = compute_shadow_coord(view.shadow_space, world_pos)
+    if "pcfcoords" in config.ablate:
+        # DIAGNOSTIC: keep the shadow-coord computation, skip the
+        # filter — splits the PCF marginal into coords vs kernel.
+        return 1.0 + sc[..., 0] * 1e-9 + sc[..., 2] * 1e-9
     if config.pcf_backend in ("packed_y4", "packed_y8") \
             and config.shadowmap_dim % 8 == 0:
         # Y-packed row table: ygroup shadow rows per table row -> 4-8x
@@ -547,7 +580,8 @@ def _gbuffer_vis(gbuf: GBuffer, shadowmap, final, view, config: EngineConfig,
 
 def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
                      config: EngineConfig, enable_vis: bool = True,
-                     tiled_points=None, env_fetch=None):
+                     tiled_points=None, env_fetch=None,
+                     pallas_points=None):
     """BaseLighting.frag main(): unpack GBuffer, light, debug switch."""
     base_color = gbuf.gbuffer_c[..., :3]
     metallic = pbr.saturate(gbuf.gbuffer_b[..., 0])
@@ -581,7 +615,7 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
             tiled_points=tiled_points, env_fetch=env_fetch,
             ablate=config.ablate, cube_pair1=scene.cube_pair1,
             refl_half=config.reflection_half,
-            cube_const=scene.cube_const,
+            cube_const=scene.cube_const, pallas_points=pallas_points,
         )
     final = gamma_correct(lit["final"] * mask[..., None])
 
@@ -628,7 +662,8 @@ def resolve_lighting(gbuf: GBuffer, shadowmap, scene: GpuScene, view,
 
 
 def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
-                  config: EngineConfig, tiled_points=None, env_fetch=None):
+                  config: EngineConfig, tiled_points=None, env_fetch=None,
+                  pallas_points=None):
     """Base.frag main(): forward PBR with the case-0 ShadowFactor multiply."""
     shadow_factor = _shadow_factor(shadowmap, attrs.world_pos, view, config,
                                    valid=attrs.covered)
@@ -644,7 +679,7 @@ def forward_shade(attrs: SurfaceAttributes, shadowmap, scene: GpuScene, view,
         scene.cube_atlas, config.cubemap_size, tiled_points=tiled_points,
         env_fetch=env_fetch, ablate=config.ablate,
         cube_pair1=scene.cube_pair1, refl_half=config.reflection_half,
-        cube_const=scene.cube_const,
+        cube_const=scene.cube_const, pallas_points=pallas_points,
     )
     final = gamma_correct(lit["final"]) * shadow_factor[..., None]
     return _debug_switch(
@@ -804,14 +839,18 @@ def render_rows(
     rows: Optional[int] = None,
     shadow_rows=None,
     full_frame: bool = True,
+    shadowmap_override=None,
 ):
     """Row-band renderer: rasterize/shade pixel rows [y0, y0+rows).
 
     The multi-chip path (parallel/tiles.py) shard_maps this over a device
     mesh with ``y0 = axis_index * rows``; the shadowmap can be computed
     sharded and all-gathered by passing ``shadow_rows=(sy0, s_rows,
-    gather_fn)``. ``full_frame=False`` disables the GBufferVis contact sheet
-    (it needs cross-row gathers).
+    gather_fn)``, or reused across several bands of the same frame by
+    passing an already-computed ``shadowmap_override`` (the striped
+    multi-chip path renders S strips per device but builds the shadow
+    map once). ``full_frame=False`` disables the GBufferVis contact
+    sheet (it needs cross-row gathers).
     """
     width = config.width
     height = rows if rows is not None else config.height
@@ -823,11 +862,35 @@ def render_rows(
     # 512-light capacity; UNROLL-sized tables shade without culling).
     # Sharded row bands cull over band-local tiles (y0 offset), so the
     # multi-chip path runs the same tiled feature set as single-chip.
-    use_tiled = (
+    use_pallas_points = (
+        config.point_light_kernel in ("pallas", "auto")
+        and view.point_lights.shape[0] >= config.point_kernel_min
+        and width % 128 == 0
+        and (config.point_light_kernel == "pallas"
+             or jax.default_backend() not in ("cpu",))
+    )
+    use_tiled = (not use_pallas_points) and (
         view.point_lights.shape[0] >= config.tiled_lights_min
         and width % config.light_tile_w == 0
     )
-    light_drops = jnp.int32(0) if use_tiled else None
+    light_drops = jnp.int32(0) if (use_tiled or use_pallas_points) else None
+
+    def make_pallas_points(world_pos, covered):
+        """Per-pass culled light lists for the Pallas point-light kernel
+        (one cull tile per (point_block_h, 128) kernel block)."""
+        nonlocal light_drops
+        if not use_pallas_points:
+            return None
+        from zeldaengine_tpu.ops.lighting import cull_point_lights_tiled
+
+        tile_idx, tile_cnt, drops = cull_point_lights_tiled(
+            view.point_lights, view.lights_count[1], view, width, height,
+            config.point_block_h, 128, config.max_tile_lights, y0=y0,
+            vp_h=config.height, world_pos=world_pos, covered=covered,
+        )
+        light_drops = light_drops + drops
+        return (tile_idx, tile_cnt, config.point_block_h,
+                jax.default_backend() in ("cpu",))
 
     def make_tiled(world_pos=None, covered=None):
         """Per-pass tiled light lists, depth-bounded by that pass's own
@@ -883,7 +946,9 @@ def render_rows(
 
     pair_overflow = jnp.int32(0)  # live pairs dropped by max_pairs caps
     # ---- 1. shadowmap pass (two-sided: cull disabled for Shadow pipelines)
-    if config.enable_shadow:
+    if shadowmap_override is not None:
+        shadowmap = shadowmap_override
+    elif config.enable_shadow:
         clip_sh = apply_mat4_h(view.shadow_space, world)
         # NOTE: CAMERA frustum/cone culling must NOT apply here —
         # geometry behind the camera still casts shadows. The LIGHT
@@ -994,21 +1059,24 @@ def render_rows(
             setup = _band_mask_setup(setup, y0, height)
         if use_fused:
             setup_d = setup
+            f_uv, f_combo, _ = _fused_flags(meta)
             depth_d, tid_d, planes_d, ovf_d = _raster_vis_fused(
                 setup_d,
                 lambda cidx: _fused_extra(scene, setup_d, world, n_world,
-                                          tri_idx=cidx),
-                height, width, config, y0=y0,
+                                          tri_idx=cidx, need_uv=f_uv,
+                                          need_combo=f_combo),
+                height, width, config, y0=y0, meta=meta,
             )
             attrs_d = surface_attributes_from_planes(
-                scene, planes_d, config, var_ch=meta.tex_channels)
+                scene, planes_d, config, var_ch=meta.tex_channels,
+                flat_normal=meta.flat_normal)
         else:
             depth_d, tid_d, ovf_d = _raster_vis(
                 setup, height, width, config, y0=y0, band=not full_frame
             )
             attrs_d = surface_attributes(
                 scene, setup, tid_d, world, n_world, config, y0=y0,
-                var_ch=meta.tex_channels,
+                var_ch=meta.tex_channels, flat_normal=meta.flat_normal,
             )
         if config.wireframe:
             attrs_d, depth_d, tid_d = _apply_wireframe(
@@ -1021,6 +1089,8 @@ def render_rows(
             enable_vis=full_frame,
             tiled_points=make_tiled(attrs_d.world_pos, attrs_d.covered),
             env_fetch=make_env_fetch(attrs_d.covered, env_cell),
+            pallas_points=make_pallas_points(attrs_d.world_pos,
+                                             attrs_d.covered),
         )
         tid_d_out = tid_d
         pair_overflow = pair_overflow + ovf_d
@@ -1039,15 +1109,18 @@ def render_rows(
         if not full_frame:
             setup_f = _band_mask_setup(setup_f, y0, height)
         if use_fused:
+            f_uv, f_combo, _ = _fused_flags(meta)
             depth, tid_f, planes_f, ovf_f = _raster_vis_fused(
                 setup_f,
                 lambda cidx: _fused_extra(scene, setup_f, world, n_world,
-                                          tri_idx=cidx),
+                                          tri_idx=cidx, need_uv=f_uv,
+                                          need_combo=f_combo),
                 height, width, config,
-                init_depth=depth_d, y0=y0,
+                init_depth=depth_d, y0=y0, meta=meta,
             )
             attrs_f = surface_attributes_from_planes(
-                scene, planes_f, config, var_ch=meta.tex_channels)
+                scene, planes_f, config, var_ch=meta.tex_channels,
+                flat_normal=meta.flat_normal)
         else:
             depth, tid_f, ovf_f = _raster_vis(
                 setup_f, height, width, config, init_depth=depth_d, y0=y0,
@@ -1055,7 +1128,7 @@ def render_rows(
             )
             attrs_f = surface_attributes(
                 scene, setup_f, tid_f, world, n_world, config, y0=y0,
-                var_ch=meta.tex_channels,
+                var_ch=meta.tex_channels, flat_normal=meta.flat_normal,
             )
         if config.wireframe:
             attrs_f, depth, tid_f = _apply_wireframe(
@@ -1067,6 +1140,8 @@ def render_rows(
             attrs_f, shadowmap, scene, view, config,
             tiled_points=make_tiled(attrs_f.world_pos, attrs_f.covered),
             env_fetch=make_env_fetch(attrs_f.covered, fwd_env_cell),
+            pallas_points=make_pallas_points(attrs_f.world_pos,
+                                             attrs_f.covered),
         )
         color = jnp.where(fwd_mask[..., None], fwd_color, color)
         pair_overflow = pair_overflow + ovf_f

@@ -54,6 +54,7 @@ def surface_attributes(
     config: EngineConfig,
     y0=0.0,
     var_ch=None,
+    flat_normal: bool = False,
 ) -> SurfaceAttributes:
     """Resolve per-pixel surface attributes from a visibility buffer.
 
@@ -149,7 +150,7 @@ def surface_attributes(
     return _finish_attributes(
         scene, config, covered, combo, uv, lod, vertex_color, world_pos,
         frag_normal, duv_dx, duv_dy, dpos_dx, dpos_dy, bary_min=bary_min,
-        var_ch=var_ch,
+        var_ch=var_ch, flat_normal=flat_normal,
     )
 
 
@@ -206,7 +207,8 @@ def _material_texels(scene, config, combo, uv, lod, var_ch):
 def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
                        world_pos, frag_normal, duv_dx, duv_dy, dpos_dx,
                        dpos_dy, bary_min=None,
-                       var_ch=None) -> SurfaceAttributes:
+                       var_ch=None,
+                       flat_normal: bool = False) -> SurfaceAttributes:
     """Texture tap + TBN shared by the gather path and the fused-kernel
     path (identical math; the fused kernel only replaces how the
     interpolants were produced)."""
@@ -235,9 +237,21 @@ def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
     ao = texels[..., 11]
     mask = texels[..., 12]
 
-    normal = pbr.compute_tangent_normal(
-        dpos_dx, dpos_dy, duv_dx, duv_dy, frag_normal, tex_normal
-    )
+    if flat_normal:
+        # NOTE: this shortcut is currently NEVER taken (SceneMeta keeps
+        # it False). The reference's TBN normalizes the map value
+        # BEFORE the 2x-1 remap (Common.glsl:126 quirk), so even the
+        # flat default normal (0.5, 0.5, 1) TILTS the shading normal
+        # along the uv-derived tangent frame: normalize(2 *
+        # normalize((.5,.5,1)) - 1) != +Z. Goldens caught a round-5
+        # attempt to elide the TBN for flat maps (54% of demo pixels
+        # off) — kept only for a hypothetical scene whose constant map
+        # value is exactly tangent-space +Z after that quirk.
+        normal = pbr.normalize(frag_normal)
+    else:
+        normal = pbr.compute_tangent_normal(
+            dpos_dx, dpos_dy, duv_dx, duv_dy, frag_normal, tex_normal
+        )
 
     return SurfaceAttributes(
         covered=covered,
@@ -255,7 +269,8 @@ def _finish_attributes(scene, config, covered, combo, uv, lod, vertex_color,
 
 
 def surface_attributes_from_planes(
-    scene, planes: jnp.ndarray, config: EngineConfig, var_ch=None
+    scene, planes: jnp.ndarray, config: EngineConfig, var_ch=None,
+    flat_normal: bool = False,
 ) -> SurfaceAttributes:
     """Build SurfaceAttributes from the fused kernel's (ATTR_CH, H, W)
     output planes (ops/rasterize_pallas.py ATTR_CH layout): the kernel
@@ -291,7 +306,7 @@ def surface_attributes_from_planes(
         world_pos=v(8, 11), frag_normal=v(11, 14),
         duv_dx=v(14, 16), duv_dy=v(16, 18),
         dpos_dx=v(18, 21), dpos_dy=v(21, 24), bary_min=bary_min,
-        var_ch=var_ch,
+        var_ch=var_ch, flat_normal=flat_normal,
     )
 
 

@@ -292,6 +292,16 @@ class SceneMeta:
     # and therefore live in ``combined_atlas``; the rest come from
     # ``GpuScene.mat_const``. None = legacy full-16 atlas.
     tex_channels: Optional[tuple] = None
+    # Static scene facts that shrink the fused raster records
+    # (rasterize_pallas.fused_extra_width): the single material-combo id
+    # shared by every triangle (None when combos vary). ``flat_normal``
+    # would mark a scene whose constant normal-map value survives the
+    # reference's normalize-before-remap TBN quirk (Common.glsl:126) as
+    # exactly tangent +Z — the shipped default (0.5, 0.5, 1) does NOT
+    # (it tilts along the uv tangent frame), so this stays False and
+    # the uv/derivative record columns are never elided.
+    const_combo: Optional[int] = None
+    flat_normal: bool = False
 
 
 class SceneBuilder:
@@ -863,5 +873,6 @@ class SceneBuilder:
             if self._meshlet_records else 0,
             env_shapes=env_shapes,
             tex_channels=tex_channels,
+            const_combo=0 if len(combined_imgs) == 1 else None,
         )
         return scene, meta
