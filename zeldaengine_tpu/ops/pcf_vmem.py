@@ -60,6 +60,7 @@ def _taps(radius: int, scale: float):
 
 
 def _pcf_kernel(sm_ref, fy_ref, fx_ref, zc_ref, act_ref, tot_ref, fit_ref,
+                xg_ref,
                 *, radius: int, scale: float, dim: int, win_rows: int):
     # Aligned slabs covering any window start. Mosaic quirk (probed on
     # v5e): pltpu.roll with a DYNAMIC shift wraps modulo the next
@@ -107,10 +108,7 @@ def _pcf_kernel(sm_ref, fy_ref, fx_ref, zc_ref, act_ref, tot_ref, fit_ref,
                     pl.ds(col0a + 128, 128)]], axis=1)
         for k in range(slab_rows // 8)
     ]
-    sl = jnp.concatenate(slabs, axis=0)                    # (slab_rows, 256)
-    sl = pltpu.roll(sl, 256 + col0a - col0, 1)[:, :_WIN_COLS]   # x flush
-    sl = pltpu.roll(sl, slab_rows + row0a - row0, 0)            # y flush
-    wins = [sl[8 * k:8 * (k + 1)] for k in range(win_rows // 8)]
+    sl0 = jnp.concatenate(slabs, axis=0)                   # (slab_rows, 256)
 
     # Local tap coords (garbage on inactive pixels; masked to stay in
     # gather range — their outputs are never read).
@@ -120,23 +118,78 @@ def _pcf_kernel(sm_ref, fy_ref, fx_ref, zc_ref, act_ref, tot_ref, fit_ref,
         jnp.floor(fx + scale * ox).astype(jnp.int32) - col0, _WIN_COLS - 1)
         for ox in range(-radius, radius + 1)]
 
+    # Uniform-block fast path (round 5, exact): every tap compares a
+    # window texel against the pixel's zc. If the SLAB's max depth is
+    # below every active pixel's zc, all 25 taps of every pixel are
+    # occluded (total = the same f32 accumulation of 0.1 the loop
+    # produces); if the slab's min is >= every zc, all taps are lit
+    # (total = 25.0). The slab is a superset of the tap window, so both
+    # tests are conservative; most blocks of a real frame are uniformly
+    # lit (no caster above) or deep in shadow — only penumbra/mixed
+    # blocks walk the rows. Constants replicate the loop's f32
+    # rounding: sum_{25} 0.1 accumulated in float32.
     n = 2 * radius + 1
-    vals = [jnp.zeros((_BLK_H, _BLK_W), jnp.float32)
-            for _ in range(n * n)]
-    for r in range(win_rows):
-        src = wins[r // 8]
-        rb = jnp.take_along_axis(
-            src, jnp.full((_BLK_H, _BLK_W), r % 8, jnp.int32), axis=0)
-        gs = [jnp.take_along_axis(rb, ix, axis=1) for ix in ixl]
-        for a in range(n):
-            m = (iyl[a] == r).astype(jnp.float32)
-            for b in range(n):
-                vals[a * n + b] = vals[a * n + b] + m * gs[b]
+    c_occ = np.float32(0.0)
+    for _ in range(n * n):
+        c_occ = np.float32(c_occ + np.float32(SHADOW_IN_FACTOR))
+    big_z = jnp.float32(3.0e38)
+    zc_min = jnp.min(jnp.where(act, zc, big_z))
+    zc_max = jnp.max(jnp.where(act, zc, -big_z))
+    # Roll-invariant: the rolls only rotate the slab, so min/max run on
+    # the unrolled stack and the rolls ride the slow path only.
+    sl_min = jnp.min(sl0)
+    sl_max = jnp.max(sl0)
+    all_occ = sl_max < zc_min
+    all_lit = sl_min >= zc_max
 
-    total = jnp.zeros((_BLK_H, _BLK_W), jnp.float32)
-    for v in vals:  # reference tap order: oy-major, ox-minor
-        total = total + jnp.where(v < zc, SHADOW_IN_FACTOR, 1.0)
-    tot_ref[...] = total
+    @pl.when(all_occ)
+    def _fast_occ():
+        tot_ref[...] = jnp.full((_BLK_H, _BLK_W), c_occ, jnp.float32)
+
+    @pl.when(all_lit & ~all_occ)
+    def _fast_lit():
+        tot_ref[...] = jnp.full((_BLK_H, _BLK_W), float(n * n),
+                                jnp.float32)
+
+    @pl.when(~all_occ & ~all_lit)
+    def _slow():
+        # One-hot masked-FMA walk over the window rows (the exact
+        # original): x-gathers must run at CONSTANT rows — a per-pixel
+        # row gather composed with a per-pixel column gather evaluates
+        # the row index at the wrong column, and Mosaic has no 2-D
+        # per-pixel gather. Row batches above the block's top-most tap
+        # row are skipped (active pixels never match them; the per-tap
+        # accumulators live in VMEM scratch so they persist across the
+        # gated batches).
+        sl = pltpu.roll(sl0, 256 + col0a - col0, 1)[:, :_WIN_COLS]
+        sl = pltpu.roll(sl, slab_rows + row0a - row0, 0)
+        wins = [sl[8 * k:8 * (k + 1)] for k in range(win_rows // 8)]
+        ymax_loc = ymax - row0.astype(jnp.float32)
+        acc_ref = xg_ref  # (n*n, _BLK_H, _BLK_W) scratch
+        for t in range(n * n):
+            acc_ref[t] = jnp.zeros((_BLK_H, _BLK_W), jnp.float32)
+        for k in range(win_rows // 8):
+            @pl.when(jnp.float32(k * 8) <= ymax_loc)
+            def _batch(k=k):
+                for rr in range(8):
+                    r = k * 8 + rr
+                    src = wins[k]
+                    rb = jnp.take_along_axis(
+                        src, jnp.full((_BLK_H, _BLK_W), rr, jnp.int32),
+                        axis=0)
+                    gs = [jnp.take_along_axis(rb, ix, axis=1)
+                          for ix in ixl]
+                    for a in range(n):
+                        m = (iyl[a] == r).astype(jnp.float32)
+                        for b in range(n):
+                            acc_ref[a * n + b] = (
+                                acc_ref[a * n + b] + m * gs[b])
+
+        total = jnp.zeros((_BLK_H, _BLK_W), jnp.float32)
+        for t in range(n * n):  # reference tap order: oy-major, ox-minor
+            total = total + jnp.where(acc_ref[t] < zc,
+                                      SHADOW_IN_FACTOR, 1.0)
+        tot_ref[...] = total
 
 
 @functools.partial(
@@ -189,6 +242,10 @@ def compute_pcf_vmem(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                                      memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((ph, pw), jnp.float32),
                    jax.ShapeDtypeStruct((n_by, n_bx), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM(((2 * radius + 1) ** 2, _BLK_H, _BLK_W),
+                       jnp.float32),
+        ],
         interpret=interpret,
     )(shadowmap, fy, fx, zc, act.astype(jnp.float32))
 
