@@ -102,25 +102,26 @@ def _run_all(argv_rest, headline_last: bool = False) -> None:
     record = "--record" in argv_rest or headline_last
     rest = [a for a in argv_rest if a != "--record"]
     here = os.path.dirname(os.path.abspath(__file__))
-    order = (1, 2, 4, 5, 3) if headline_last else (1, 2, 3, 4, 5)
+    order = (("1", "2", "3t", "4", "5", "3") if headline_last
+             else ("1", "2", "3", "3t", "4", "5"))
     lines = []
     for c in order:
         cmd = [sys.executable, os.path.join(here, "bench.py"),
-               "--config", str(c)]
-        if c in (1, 2, 4):
+               "--config", c]
+        if c in ("1", "2", "3t", "4"):
             cmd.append("--steady")
         cmd += rest
         r = None
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=7200 if c == 3 else 3600)
+                               timeout=7200 if c == "3" else 3600)
             out = (r.stdout.strip().splitlines() or ["{}"])[-1]
             parsed = json.loads(out)
         except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
             err = (r.stdout + r.stderr) if r is not None else str(e)
             parsed = {"metric": f"config {c}", "value": None,
                       "error": str(err)[-400:]}
-        stream = sys.stderr if (headline_last and c != 3) else sys.stdout
+        stream = sys.stderr if (headline_last and c != "3") else sys.stdout
         print(json.dumps(parsed), file=stream, flush=True)
         lines.append((c, parsed))
     if record:
@@ -128,7 +129,7 @@ def _run_all(argv_rest, headline_last: bool = False) -> None:
 
         rows = ["", f"## bench --all {datetime.date.today()}", "",
                 "| # | metric | value | frame_ms | per_dispatch_ms |", "|---|---|---|---|---|"]
-        for c, p in sorted(lines):
+        for c, p in sorted(lines, key=lambda cp: cp[0]):
             d = p.get("detail", {})
             rows.append(
                 f"| {c} | {p.get('metric')} | {p.get('value')} "
@@ -153,8 +154,8 @@ def main() -> None:
         return
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=int, default=3,
-                        choices=(1, 2, 3, 4, 5))
+    parser.add_argument("--config", type=str, default="3",
+                        choices=("1", "2", "3", "3t", "4", "5"))
     parser.add_argument("--frames", type=int, default=8)
     # Headline default = the reference demo scale: 2 x 10,000 grass + 65
     # rocks + terrain (ZeldaUntitled.py:103-128).
@@ -209,7 +210,7 @@ def main() -> None:
     import jax.numpy as _jnp
     float(_jnp.zeros((), _jnp.float32) + 0.0)
 
-    if args.config == 1:
+    if args.config == "1":
         config = EngineConfig(width=512, height=512, shadowmap_dim=256,
                               enable_shadow=False, enable_skydome=False,
                               texture_size=128, cubemap_size=64,
@@ -228,7 +229,7 @@ def main() -> None:
         world = make_world(pos=(0.0, -3.0, 1.0), lookat=(0.0, 0.0, 0.0))
         metric, unit, target = "forward-PBR 512px frames/sec", "fps", 60.0
 
-    elif args.config == 2:
+    elif args.config == "2":
         config = EngineConfig(width=1024, height=1024, shadowmap_dim=1024,
                               texture_size=128, cubemap_size=64,
                               background_size=128, max_point_lights=8)
@@ -250,7 +251,7 @@ def main() -> None:
         world = make_world(pos=(14.0, 14.0, 9.0), lookat=(0.0, 0.0, 0.0))
         metric, unit, target = "instanced+PCF 1024px frames/sec", "fps", 60.0
 
-    elif args.config == 4:
+    elif args.config == "4":
         # pair_expand=4: meshlet triangles are tiny on screen (a bbox
         # covering >4 tiles is rare), and pair-binning prep (T*E keys to
         # sort + gather) scales linearly with the cap at T~1M.
@@ -321,7 +322,7 @@ def main() -> None:
         detail.update(meshlets_culled=culled,
                       culled_frac=round(culled / max(vis.size, 1), 3))
 
-    elif args.config == 5:
+    elif args.config == "5":
         # Livelink streaming: a procedurally generated world is sent over
         # TCP and re-rendered each frame (BASELINE config 5).
         import threading
@@ -395,6 +396,28 @@ def main() -> None:
         }))
         return
 
+    elif args.config == "3t":
+        # Textured-headline guard (VERDICT r4 weak #6): the demo scene
+        # with REAL per-slot PBR textures, so the per-pixel supertexture
+        # gather, the TBN, and the variable-lod cube reflection are all
+        # exercised — optimizations that only help the textureless path
+        # can no longer regress the general path invisibly. Same frame
+        # config as config 3.
+        from zeldaengine_tpu.scene.demo import build_textured_demo_scene
+
+        config = EngineConfig(width=1920, height=1080,
+                              tile_h=64, tile_w=32,
+                              max_pairs=384 * 1024,
+                              max_pairs_shadow=256 * 1024)
+        t0 = time.time()
+        scene, meta, world = build_textured_demo_scene(
+            config, grass=args.grass, rocks=args.rocks)
+        detail.update(scene_build_s=round(time.time() - t0, 2),
+                      instances=meta.num_instances,
+                      tex_channels=len(meta.tex_channels or ()))
+        metric, unit, target = \
+            "1080p textured deferred-PBR frames/sec", "fps", 60.0
+
     else:  # config 3, headline
         # Round-3 tuned bundle (hardware A/B ledger, BASELINE.md): tall
         # narrow raster tiles (demo grass is vertical slivers — 64x32
@@ -459,7 +482,7 @@ def main() -> None:
     # harness reaches the chip through a tunnel that costs 25-55 ms per
     # dispatch — a property of the remote link, not of the engine. Both
     # numbers are recorded.
-    if args.steady or args.config == 3:
+    if args.steady or args.config in ("3", "3t"):
         disp_s, _ = _bench_loop(step, scene, make_view, args.frames)
         frame_s, compile_s = _steady_loop(
             lambda s, v: render_rows(s, v, meta, config)[0],
@@ -486,7 +509,7 @@ def main() -> None:
         img = np.asarray(step(scene, make_view(0)))
         write_png(args.out, img)
 
-    if args.config == 4:
+    if args.config == "4":
         value = meta.num_meshlets * fps
         vs_baseline = fps / 60.0
     else:
@@ -503,7 +526,7 @@ def main() -> None:
         config=args.config,
     )
 
-    if args.config == 3 and not args.no_golden:
+    if args.config == "3" and not args.no_golden:
         # Hardware golden gate (VERDICT r2 #9): every headline bench run
         # re-validates the TPU kernels against the CPU goldens — the one
         # check that catches TPU-only numeric regressions (it caught the

@@ -40,3 +40,85 @@ def build_demo_scene(
     world = demo_world(grass=grass, rocks=rocks)
     scene, meta = build_scene_from_world(world, config, roots=roots)
     return scene, meta, world
+
+
+def build_textured_demo_scene(
+    config: EngineConfig,
+    grass: int = 1000,
+    rocks: int = 64,
+    roots: Optional[List[str]] = None,
+    cache_dir: Optional[str] = None,
+):
+    """The demo scene with REAL per-slot PBR textures (bench config 3t).
+
+    The reference mount ships no Profabs, so the plain demo renders the
+    procedural stand-in meshes with default (spatially constant)
+    materials — which makes the constant-slot elision and fixed-lod
+    reflection tiers bypass the texture/cube gathers entirely
+    (VERDICT r4 weak #6: the headline was overfit to a textureless
+    scene). This builder generates a Profab root holding the SAME
+    procedural meshes exported as OBJs plus deterministic noise/checker
+    textures for every PBR slot (7-slot sampling, Base.frag:24-30 /
+    ZeldaEngine.cpp:4951-4989), so ``tex_channels != ()`` (per-pixel
+    supertexture gather + real TBN) and the roughness texture spans
+    [0.25, 1] (fixed-lod ``cube_const`` disengages; the variable-lod
+    cube gather is paid). Geometry and instancing are identical to
+    ``build_demo_scene``."""
+    import os
+
+    from zeldaengine_tpu.scene.assets import SLOT_SUFFIXES, _procedural_profab
+    from zeldaengine_tpu.scene.mesh import save_obj
+    from zeldaengine_tpu.utils import write_png
+
+    size = config.texture_size
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~/.cache/zeldaengine_tpu"), f"profabs3t_{size}")
+    names = ("terrain", "rock_01", "rock_02", "grass_01", "grass_02")
+    stamp = os.path.join(cache_dir, "COMPLETE")
+    if not os.path.exists(stamp):
+        for name in names:
+            pdir = os.path.join(cache_dir, "Profabs", name)
+            os.makedirs(os.path.join(pdir, "models"), exist_ok=True)
+            os.makedirs(os.path.join(pdir, "textures"), exist_ok=True)
+            save_obj(_procedural_profab(name),
+                     os.path.join(pdir, "models", name + ".obj"))
+            rng = np.random.RandomState(abs(hash(name)) % (2**31))
+            yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+            checker = ((xx * 8).astype(int) + (yy * 8).astype(int)) % 2
+
+            def smooth_noise(lo, hi):
+                n = rng.rand(size // 8, size // 8).astype(np.float32)
+                n = np.kron(n, np.ones((8, 8), np.float32))
+                return lo + (hi - lo) * n
+
+            slots = {
+                "_bc": np.stack([0.25 + 0.55 * checker,
+                                 smooth_noise(0.2, 0.9),
+                                 smooth_noise(0.1, 0.6)], -1),
+                "_m": np.repeat(smooth_noise(0.0, 0.8)[..., None], 3, -1),
+                "_r": np.repeat(smooth_noise(0.25, 1.0)[..., None], 3, -1),
+                "_n": np.stack([0.5 + 0.25 * (smooth_noise(-1, 1)),
+                                0.5 + 0.25 * (smooth_noise(-1, 1)),
+                                np.full((size, size), 0.9, np.float32)], -1),
+                "_ao": np.repeat(smooth_noise(0.6, 1.0)[..., None], 3, -1),
+                "_ev": np.zeros((size, size, 3), np.float32),
+                "_ms": np.ones((size, size, 3), np.float32),
+            }
+            for suffix, img in slots.items():
+                write_png(os.path.join(pdir, "textures",
+                                       name + suffix + ".png"),
+                          np.clip(img, 0.0, 1.0))
+        with open(stamp, "w") as f:
+            f.write("ok\n")
+
+    import os as _os
+
+    all_roots = [cache_dir]
+    if roots:
+        all_roots += roots
+    elif _os.path.isdir(REFERENCE_CONTENT_ROOT):
+        all_roots.append(REFERENCE_CONTENT_ROOT)
+    world = demo_world(grass=grass, rocks=rocks)
+    scene, meta = build_scene_from_world(world, config, roots=all_roots)
+    assert meta.tex_channels, "3t build must exercise the texture path"
+    return scene, meta, world

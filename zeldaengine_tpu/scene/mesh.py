@@ -250,3 +250,25 @@ def make_sphere(radius: float = 1.0, rings: int = 16, sectors: int = 32,
         uvs=np.asarray(uv, np.float32),
         indices=np.asarray(idx, np.int32),
     )
+
+
+def save_obj(mesh: Mesh, path: str) -> None:
+    """Write a Mesh as Wavefront OBJ (v/vt/vn + unified-index faces).
+
+    The inverse of ``load_obj`` for position/uv/normal (OBJ has no
+    vertex-color channel; colors reload as the all-ones default). Used
+    by the textured-benchmark Profab generator (bench config 3t) and as
+    a toolchain export — the reference ships OBJ content only
+    (Content/Models/*.obj)."""
+    with open(path, "w") as f:
+        f.write("# zeldaengine_tpu save_obj\n")
+        for p in mesh.positions:
+            f.write(f"v {p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+        for t in mesh.uvs:
+            f.write(f"vt {t[0]:.9g} {t[1]:.9g}\n")
+        for n in mesh.normals:
+            f.write(f"vn {n[0]:.9g} {n[1]:.9g} {n[2]:.9g}\n")
+        for tri in np.asarray(mesh.indices, np.int64) + 1:
+            f.write(f"f {tri[0]}/{tri[0]}/{tri[0]}"
+                    f" {tri[1]}/{tri[1]}/{tri[1]}"
+                    f" {tri[2]}/{tri[2]}/{tri[2]}\n")
