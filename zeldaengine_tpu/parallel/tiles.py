@@ -59,6 +59,31 @@ def band_compact_config(config: EngineConfig, meta: SceneMeta, n: int,
     return config.replace(compact_tris=cap)
 
 
+def stripe_layout(config: EngineConfig, n: int):
+    """Striped row assignment: device d owns tile rows d, d+n, d+2n, ...
+    (granularity = config.tile_h pixel rows). Returns (S strips per
+    device, strip height px, padded tile rows). Static contiguous bands
+    concentrate work on whichever device owns mid-screen (the round-4
+    dryrun measured one device holding 73% of band-live triangles);
+    striping interleaves content across devices at tile granularity."""
+    th = config.tile_h
+    n_trows = -(-config.height // th)
+    s = -(-n_trows // n)
+    return s, th, s * n
+
+
+def unstripe_perm(config: EngineConfig, n: int) -> jnp.ndarray:
+    """Row permutation mapping the strip-major sharded output back to
+    screen order: screen tile row t was rendered by device t % n as its
+    strip t // n."""
+    import numpy as np
+
+    s, th, _ = stripe_layout(config, n)
+    t = np.arange(n * s)
+    src_row = ((t % n) * s + t // n)[:, None] * th + np.arange(th)[None]
+    return jnp.asarray(src_row.reshape(-1)[: n * s * th], jnp.int32)
+
+
 def render_frame_sharded(
     scene: GpuScene,
     view,
@@ -66,54 +91,87 @@ def render_frame_sharded(
     config: EngineConfig,
     mesh: Mesh,
     band_compact_slack: float | None = None,
+    stripe: bool = True,
 ):
     """Render one frame with pixel rows sharded over ``mesh``.
 
-    Returns the (H, W, 3) image with rows distributed across devices
-    (PartitionSpec('rows', None, None)). ``band_compact_slack`` opts
-    into band-sized prep compaction (see band_compact_config).
+    Returns the (H, W, 3) image in screen order with rows distributed
+    across devices. ``band_compact_slack`` opts into band-sized prep
+    compaction (see band_compact_config).
+
+    ``stripe`` (default): device d renders tile rows d, d+n, d+2n, ...
+    as S strips (stripe_layout) — raster/prep work balances across
+    devices for any content distribution, the shadow map is built once
+    per device (contiguous shadow bands + all_gather, reused by every
+    strip via shadowmap_override), and the strip-major output is
+    permuted back to screen order (one cross-device row exchange, the
+    presentation-side collective). ``stripe=False`` keeps the round-4
+    contiguous bands.
     """
     n = mesh.shape[AXIS]
-    assert config.height % n == 0, (
-        f"height {config.height} must divide the {n}-device mesh"
-    )
     assert config.shadowmap_dim % n == 0
     if band_compact_slack is not None:
         config = band_compact_config(config, meta, n,
                                      slack=band_compact_slack)
-    rows = config.height // n
     s_rows = config.shadowmap_dim // n
+
+    if not stripe:
+        assert config.height % n == 0, (
+            f"height {config.height} must divide the {n}-device mesh"
+        )
+        rows = config.height // n
+
+        def step(scene, view):
+            idx = jax.lax.axis_index(AXIS)
+            y0 = (idx * rows).astype(jnp.int32)
+            sy0 = (idx * s_rows).astype(jnp.int32)
+
+            def gather_shadow(band):
+                # (s_rows, D) band -> full (D, D) map on every device
+                return jax.lax.all_gather(band, AXIS, axis=0, tiled=True)
+
+            color, _aux = render_rows(
+                scene, view, meta, config,
+                y0=y0, rows=rows,
+                shadow_rows=(sy0, s_rows, gather_shadow),
+                full_frame=False,
+            )
+            return color
+
+        fn = shard_map(step, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(AXIS, None, None), check_rep=False)
+        return fn(scene, view)
+
+    n_strips, th, _ = stripe_layout(config, n)
 
     def step(scene, view):
         idx = jax.lax.axis_index(AXIS)
-        y0 = (idx * rows).astype(jnp.int32)
         sy0 = (idx * s_rows).astype(jnp.int32)
 
         def gather_shadow(band):
-            # (s_rows, D) band -> full (D, D) shadow map on every device
-            full = jax.lax.all_gather(band, AXIS, axis=0, tiled=True)
-            return full
+            return jax.lax.all_gather(band, AXIS, axis=0, tiled=True)
 
-        color, _aux = render_rows(
-            scene,
-            view,
-            meta,
-            config,
-            y0=y0,
-            rows=rows,
-            shadow_rows=(sy0, s_rows, gather_shadow),
-            full_frame=False,
-        )
-        return color
+        strips = []
+        shadowmap = None
+        for s in range(n_strips):
+            y0 = ((idx + s * n) * th).astype(jnp.int32)
+            color, aux = render_rows(
+                scene, view, meta, config,
+                y0=y0, rows=th,
+                shadow_rows=(None if shadowmap is not None
+                             else (sy0, s_rows, gather_shadow)),
+                shadowmap_override=shadowmap,
+                full_frame=False,
+            )
+            shadowmap = aux["shadowmap"]
+            strips.append(color)
+        return jnp.concatenate(strips, axis=0)  # (S*th, W, 3) strip-major
 
-    fn = shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P(AXIS, None, None),
-        check_rep=False,
-    )
-    return fn(scene, view)
+    fn = shard_map(step, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=P(AXIS, None, None), check_rep=False)
+    out = fn(scene, view)  # (n*S*th, W, 3) device-major strips
+    perm = unstripe_perm(config, n)
+    return jnp.take(out, perm, axis=0)[: config.height]
 
 
 def jit_sharded_renderer(meta: SceneMeta, config: EngineConfig, mesh: Mesh,
@@ -128,11 +186,16 @@ def jit_sharded_renderer(meta: SceneMeta, config: EngineConfig, mesh: Mesh,
     return step
 
 
-def band_pair_stats(scene, view, meta, config: EngineConfig, mesh: Mesh):
+def band_pair_stats(scene, view, meta, config: EngineConfig, mesh: Mesh,
+                    stripe: bool = True):
     """Per-device (band-live triangles, band pair count) for the deferred
     pass — the dryrun's proof that prep sharding tracks the band share
-    (VERDICT r3 #7). Mirrors render_rows' vertex/setup prep (frame.py)
-    for the deferred pass only."""
+    (VERDICT r3 #7) and that STRIPED assignment balances it (round 5:
+    contiguous bands put 73% of the demo's band-live triangles on one
+    device). Mirrors render_rows' vertex/setup prep (frame.py) for the
+    deferred pass only; with ``stripe`` the counts sum each device's
+    strips (a triangle spanning k of the device's strips counts k times,
+    exactly like its prep does)."""
     from zeldaengine_tpu.math.transforms import (
         apply_mat4_h, apply_mat4_point)
     from zeldaengine_tpu.ops import pbr
@@ -140,6 +203,42 @@ def band_pair_stats(scene, view, meta, config: EngineConfig, mesh: Mesh):
     from zeldaengine_tpu.passes.frame import _band_mask_setup
 
     n = mesh.shape[AXIS]
+    if stripe:
+        n_strips, th, _ = stripe_layout(config, n)
+
+        def stats(scene, view):
+            idx = jax.lax.axis_index(AXIS)
+            world = apply_mat4_point(view.model, scene.pair_pos)
+            clip = apply_mat4_h(view.view_proj, world)
+            setup0 = triangle_setup(
+                clip[scene.tri_vtx], config.width, config.height,
+                two_sided=scene.tri_two_sided,
+                valid_mask=scene.tri_valid & scene.tri_deferred,
+            )
+            tw = config.tile_w
+            n_tx = -(-config.width // tw)
+            acc = jnp.zeros((2,), jnp.float32)
+            for s in range(n_strips):
+                y0 = ((idx + s * n) * th).astype(jnp.int32)
+                setup = _band_mask_setup(setup0, y0, th)
+                live = (setup.valid
+                        & (setup.bbox[:, 2] > setup.bbox[:, 0])
+                        & (setup.bbox[:, 3] > setup.bbox[:, 1]))
+                tx0 = jnp.clip(jnp.floor(setup.bbox[:, 0] / tw),
+                               0, n_tx - 1)
+                tx1 = jnp.clip(jnp.ceil(setup.bbox[:, 2] / tw) - 1.0,
+                               0, n_tx - 1)
+                ncov = jnp.where(live, tx1 - tx0 + 1, 0.0)
+                acc = acc + jnp.stack(
+                    [jnp.sum(live).astype(jnp.float32), jnp.sum(ncov)])
+            return acc[None]
+
+        fn = shard_map(stats, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(AXIS, None), check_rep=False)
+        import numpy as np
+
+        return np.asarray(jax.jit(fn)(scene, view)).astype(int)
+
     rows = config.height // n
 
     def stats(scene, view):
