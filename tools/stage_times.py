@@ -76,6 +76,8 @@ def main():
                     help="override rasterize_pallas.WALK_STEP (0=keep)")
     ap.add_argument("--fetch_gate", type=int, default=-1,
                     help="override rasterize_pallas.FETCH_GATE (-1=keep)")
+    ap.add_argument("--center_cull", type=int, default=-1,
+                    help="override rasterize_pallas.CENTER_CULL (-1=keep)")
     args = ap.parse_args()
 
     import zeldaengine_tpu.ops.rasterize_pallas as _rp
@@ -84,6 +86,8 @@ def main():
         _rp.WALK_STEP = args.walk_step
     if args.fetch_gate >= 0:
         _rp.FETCH_GATE = bool(args.fetch_gate)
+    if args.center_cull >= 0:
+        _rp.CENTER_CULL = bool(args.center_cull)
 
     import jax
     import jax.numpy as jnp

@@ -235,6 +235,21 @@ class EngineConfig:
     # unrolled loop wins for small tables; the tiled path's dynamic trip
     # count wins once tables outgrow the busiest tile's light count).
     tiled_lights_min: int = 65
+    # Point-light evaluation backend. "pallas": tile-restricted Pallas
+    # kernel (ops/lighting_pallas.py) — each (point_block_h, 128) pixel
+    # block loops over ITS culled light list, so VPU work tracks the
+    # reachable (light, block) pairs instead of capacity x pixels;
+    # exact-zero falloff beyond radius keeps the sum bit-compatible
+    # with the unrolled loop up to Mosaic lowering ulps. "auto" = pallas
+    # on accelerators when the point table holds >= point_kernel_min
+    # slots and width % 128 == 0; unrolled/tiled XLA otherwise (CPU
+    # keeps the reference path for golden stability). "unroll" = off.
+    point_light_kernel: str = "auto"
+    # Kernel block height (x128 px). Bigger blocks = fewer grid steps
+    # and smaller scalar-prefetch tables (8-row blocks overflow SMEM at
+    # 1080p); hardware sweep 8/24/40/120 -> 40 (BASELINE.md round 5).
+    point_block_h: int = 40
+    point_kernel_min: int = 4
 
     # Merged environment tap: cubemap reflection + sky + background in
     # ONE gather per pixel (ops/envtap.py) instead of 3-4 separate
