@@ -276,6 +276,7 @@ def main() -> None:
                               compact_tris=512 * 1024,
                               compact_tris_shadow=640 * 1024,
                               shadow_cone_cull=True,
+                              subpixel_cull=True,
                               max_pairs=512 * 1024,
                               max_pairs_shadow=640 * 1024)
         from zeldaengine_tpu.meshlet import build_meshlets

@@ -54,10 +54,13 @@ def main():
                                two_sided=scene.tri_two_sided,
                                valid_mask=tri_valid)
         live_tris = jnp.sum(setup.valid.astype(jnp.int32))
-        s2, _, _, cam_tri_over = compact_setup(setup, config.compact_tris)
+        s2, _, _, cam_tri_over = compact_setup(
+            setup, config.compact_tris,
+            center_cull=config.subpixel_cull)
         pairs = build_pairs(s2, pw, ph, config.tile_h, config.tile_w,
                             expand=config.pair_expand, max_pairs=128,
-                            sort_z=True, ysort_sub_rows=config.sub_rows)
+                            sort_z=True, ysort_sub_rows=config.sub_rows,
+                            center_cull=config.subpixel_cull)
         cam_pairs = pairs.overflow + 128
 
         clip_sh = apply_mat4_h(view.shadow_space, world_p)
@@ -81,14 +84,16 @@ def main():
             depth_bias=(config.shadow_bias_constant,
                         config.shadow_bias_slope))
         sh_live = jnp.sum(sh_setup.valid.astype(jnp.int32))
-        sh2, _, _, sh_tri_over = compact_setup(sh_setup,
-                                               config.compact_tris_shadow)
+        sh2, _, _, sh_tri_over = compact_setup(
+            sh_setup, config.compact_tris_shadow,
+            center_cull=config.subpixel_cull)
         sh_pairs_b = build_pairs(sh2, config.shadowmap_dim,
                                  config.shadowmap_dim, config.tile_h,
                                  config.tile_w,
                                  expand=config.pair_expand_shadow,
                                  max_pairs=128,
-                                 ysort_sub_rows=config.sub_rows)
+                                 ysort_sub_rows=config.sub_rows,
+                                 center_cull=config.subpixel_cull)
         sh_pairs = sh_pairs_b.overflow + 128
         return (live_tris, cam_tri_over, cam_pairs,
                 sh_live, sh_tri_over, sh_pairs)

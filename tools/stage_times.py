@@ -165,7 +165,8 @@ def main():
         from zeldaengine_tpu.ops.rasterize_pallas import compact_setup
 
         s2, e2, _, _ = compact_setup(setup, config.compact_tris,
-                                     extra=extra)
+                                     extra=extra,
+                                     center_cull=config.subpixel_cull)
         return s2, e2
 
     def compact_then_extra(scene, setup, world_p, n_world):
@@ -175,7 +176,8 @@ def main():
             return setup, _fused_extra(scene, setup, world_p, n_world)
         from zeldaengine_tpu.ops.rasterize_pallas import compact_setup
 
-        s2, _, idx, _ = compact_setup(setup, config.compact_tris)
+        s2, _, idx, _ = compact_setup(setup, config.compact_tris,
+                                      center_cull=config.subpixel_cull)
         return s2, _fused_extra(scene, setup, world_p, n_world,
                                 tri_idx=idx)
 
@@ -189,7 +191,8 @@ def main():
                             ysort_sub_rows=(config.sub_rows
                                             if args.ysort else None),
                             gather_chunks=args.gchunks,
-                            gather_pack=args.gpack)
+                            gather_pack=args.gpack,
+                            center_cull=config.subpixel_cull)
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -212,7 +215,8 @@ def main():
                             ysort_sub_rows=(config.sub_rows
                                             if args.ysort else None),
                             gather_chunks=args.gchunks,
-                            gather_pack=args.gpack)
+                            gather_pack=args.gpack,
+                            center_cull=config.subpixel_cull)
         return (jnp.sum(pairs.records[:, 0, :]) + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -233,7 +237,8 @@ def main():
                             ysort_sub_rows=(config.sub_rows
                                             if args.ysort else None),
                             gather_chunks=args.gchunks,
-                            gather_pack=args.gpack)
+                            gather_pack=args.gpack,
+                            center_cull=config.subpixel_cull)
         return (jnp.sum(pairs.records) * 1e-6 + jnp.sum(pairs.starts)
                 + jnp.sum(pairs.pair_tri))
 
@@ -249,7 +254,8 @@ def main():
                             ysort_sub_rows=(config.sub_rows
                                             if args.ysort else None),
                             gather_chunks=args.gchunks,
-                            gather_pack=args.gpack)
+                            gather_pack=args.gpack,
+                            center_cull=config.subpixel_cull)
         return jnp.sum(pairs.starts) + jnp.sum(pairs.pair_tri)
 
     def vtx_fn(scene, view, dt):
@@ -324,7 +330,8 @@ def main():
                                                     if args.ysort
                                                     else None),
                                     gather_chunks=args.gchunks,
-                            gather_pack=args.gpack)
+                            gather_pack=args.gpack,
+                            center_cull=config.subpixel_cull)
                 # pairs are loop-invariant (hoisted); init_depth carries dt
                 init = jnp.ones((ph, pw), jnp.float32) + dt
                 from zeldaengine_tpu.ops.rasterize_pallas import FUSED_EXTRA
@@ -362,7 +369,8 @@ def main():
                                                     if args.ysort
                                                     else None),
                                     gather_chunks=args.gchunks,
-                            gather_pack=args.gpack)
+                            gather_pack=args.gpack,
+                            center_cull=config.subpixel_cull)
                 init = jnp.ones((ph, pw), jnp.float32) + dt
                 hz = 1 if args.zsort else 0
                 ne = 34 if name == "kernel1" else 0
@@ -404,7 +412,8 @@ def main():
                                                     if args.ysort
                                                     else None),
                                     gather_chunks=args.gchunks,
-                            gather_pack=args.gpack)
+                            gather_pack=args.gpack,
+                            center_cull=config.subpixel_cull)
                 init = (jnp.ones((config.shadowmap_dim,
                                   config.shadowmap_dim), jnp.float32)
                         + dt)

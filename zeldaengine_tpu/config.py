@@ -155,6 +155,13 @@ class EngineConfig:
     # 4); mechanism kept for the ledger + tests. 0 = auto (8 above
     # 262144 table rows), 1 = plain gather.
     pair_gather_pack: int = 1
+    # Exact sub-pixel cull: triangles whose bbox straddles no pixel
+    # center rasterize nothing and are culled before compaction/pair
+    # binning. A pure win at meshlet scale (config 4: ~1 px^2 tris —
+    # shrinks the pair stream the needle-bound record gather walks) but
+    # measured +2.5 ms on the demo kernel (bin-structure perturbation;
+    # BASELINE.md round 5) — off by default, on in the c4 bench config.
+    subpixel_cull: bool = False
     # "auto": Pallas tiled kernel on TPU, jnp reference path on CPU.
     raster: str = "auto"  # "auto" | "pallas" | "jnp"
     sub_rows: int = 8

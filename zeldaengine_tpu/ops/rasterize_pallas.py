@@ -54,8 +54,17 @@ N_SLOTS = 4
 
 # Paired-walk step (see _make_walk) and phase-2 per-group fetch gating
 # (_pair_fused_kernel): module-level so stage probes can sweep them.
-WALK_STEP = 2
+# Round-5 hardware A/Bs (BASELINE.md): WALK_STEP 2 measured +0.8 ms on
+# demo phase 1 (the walk is not DMA-issue bound the way round-3 data
+# suggested) — default 1, mechanism kept. FETCH_GATE ~-1 ms on phase 2.
+WALK_STEP = 1
 FETCH_GATE = True
+# Exact sub-pixel cull (_covers_pixel_center) — config-driven per call
+# (EngineConfig.subpixel_cull): removing the no-coverage pairs measured
+# +2.5 ms on the demo kernel (bin-structure perturbation) but shrinks
+# the config-4 pair stream, whose record-gather needle count is the c4
+# wall. This module default only seeds probes.
+CENTER_CULL = False
 
 
 def _walk_step(n_slices: int) -> int:
@@ -134,6 +143,7 @@ def compact_setup(
     setup: TriangleSetup,
     cap: int,
     extra: jnp.ndarray | None = None,
+    center_cull: bool | None = None,
 ):
     """Compact live triangles into a ``cap``-sized prefix (VERDICT r2 #2).
 
@@ -155,8 +165,9 @@ def compact_setup(
         setup.valid
         & (setup.bbox[:, 2] > setup.bbox[:, 0])
         & (setup.bbox[:, 3] > setup.bbox[:, 1])
-        & _covers_pixel_center(setup.bbox)
     )
+    if center_cull if center_cull is not None else CENTER_CULL:
+        live = live & _covers_pixel_center(setup.bbox)
     pos = jnp.cumsum(live.astype(jnp.int32)) - 1
     n_live = jnp.where(live.shape[0] > 0, pos[-1] + 1, 0)
     tgt = jnp.where(live & (pos < cap), pos, cap)
@@ -207,6 +218,7 @@ def build_pairs(
     ysort_sub_rows: int | None = None,
     gather_chunks: int = 1,
     gather_pack: int = 1,
+    center_cull: bool | None = None,
 ) -> PairedTriangles:
     """Compact triangles into exact per-tile pair lists (TPU binning).
 
@@ -347,8 +359,9 @@ def build_pairs(
         & (bbox[:, 0] < width)
         & (bbox[:, 3] / tile_h > y0f)
         & (bbox[:, 1] / tile_h < y0f + n_ty)
-        & _covers_pixel_center(bbox)
     )
+    if center_cull if center_cull is not None else CENTER_CULL:
+        live = live & _covers_pixel_center(bbox)
     nx = (tx1 - tx0 + 1.0)
     ny = (ty1 - ty0 + 1.0)
     ncov = jnp.where(live, nx * ny, 0.0)
@@ -665,7 +678,10 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots, step: int = 1):
     last pair of a short stream clamps backward, re-processing a slice
     — exact for all three walk bodies (depth min, strict-< winner
     take, and the phase-2 overwrite-with-same fetch are idempotent).
-    ``scratch_ref`` is (n_slots, step, rec_rows, 128)."""
+    ``scratch_ref`` is (n_slots * step, rec_rows, 128), kept 3-D — the
+    bodies receive a flat slice index (slot * step + k), so their VMEM
+    addressing is identical to the unpaired walk (a 4-D scratch
+    measurably degraded Mosaic's lowering)."""
 
     def walk(ranges, body, init_carry=0):
         """``ranges``: static-length list of (lo, hi) pair-index ranges
@@ -707,12 +723,12 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots, step: int = 1):
             if step == 1:
                 return pltpu.make_async_copy(
                     records_hbm.at[slice_of(j)],
-                    scratch_ref.at[slot, 0],
+                    scratch_ref.at[slot],
                     sem_ref.at[slot],
                 )
             return pltpu.make_async_copy(
                 records_hbm.at[pl.ds(slice_of(j), step)],
-                scratch_ref.at[slot],
+                scratch_ref.at[pl.ds(slot * step, step)],
                 sem_ref.at[slot],
             )
 
@@ -736,7 +752,8 @@ def _make_walk(records_hbm, scratch_ref, sem_ref, n_slots, step: int = 1):
             hi = pick(j, [r[1] for r in ranges])
             ridx = pick(j, [jnp.int32(r) for r in range(len(ranges))])
             for k in range(step):
-                carry = body(slot, k, (s0 + k) * 128, lo, hi, ridx, carry)
+                carry = body(slot * step + k, (s0 + k) * 128, lo, hi,
+                             ridx, carry)
             return carry
 
         return jax.lax.fori_loop(0, n, slice_body, init_carry)
@@ -903,7 +920,7 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
 
     base_sub_f = (base_y // sub_rows).astype(jnp.float32)
 
-    def raster_body(slot, k, c_base, lo, hi, ridx, carry):
+    def raster_body(slot, c_base, lo, hi, ridx, carry):
         lane_ok = (
             (lane_f >= (lo - c_base).astype(jnp.float32))
             & (lane_f < (hi - c_base).astype(jnp.float32))
@@ -916,7 +933,7 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
             # (1, 128) row (cheap, unlike the rejected whole-plane
             # early-out reductions); dead/never lanes carry (4095, 0)
             # so they never widen the window.
-            ysr = scratch_ref[slot, k, y_row : y_row + 1, :]
+            ysr = scratch_ref[slot, y_row : y_row + 1, :]
             y1s = jnp.floor(ysr * (1.0 / 4096.0))
             y0s = ysr - y1s * 4096.0
             lo_sb = jnp.min(jnp.where(lane_ok, y0s, 4095.0)) - base_sub_f
@@ -926,9 +943,9 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
 
         def form(r, px, py):
             return (
-                px * scratch_ref[slot, k, r : r + 1, :]
-                + py * scratch_ref[slot, k, r + 1 : r + 2, :]
-                + scratch_ref[slot, k, r + 2 : r + 3, :]
+                px * scratch_ref[slot, r : r + 1, :]
+                + py * scratch_ref[slot, r + 1 : r + 2, :]
+                + scratch_ref[slot, r + 2 : r + 3, :]
             )
 
         def eval_cand(px, py):
@@ -936,9 +953,9 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
             e1 = form(3, px, py)
             e2 = form(6, px, py)
             d = (
-                e0 * scratch_ref[slot, k, 9:10, :]
-                + e1 * scratch_ref[slot, k, 10:11, :]
-                + e2 * scratch_ref[slot, k, 11:12, :]
+                e0 * scratch_ref[slot, 9:10, :]
+                + e1 * scratch_ref[slot, 10:11, :]
+                + e2 * scratch_ref[slot, 11:12, :]
             )
             esum = e0 + e1 + e2
             emin = jnp.minimum(jnp.minimum(e0, e1), e2)
@@ -992,7 +1009,7 @@ def _run_raster_walk_accwide(walk, scratch_ref, init_ref, depth_ref,
 
             @pl.when(jax.lax.rem(carry, eo_stride) == eo_stride - 1)
             def _test():
-                zrow_v = scratch_ref[slot, k, z_row : z_row + 1, :]
+                zrow_v = scratch_ref[slot, z_row : z_row + 1, :]
                 zb = jnp.max(jnp.where(lane_ok, zrow_v, -NO_HIT))
 
                 def mark(groups):
@@ -1085,7 +1102,7 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             # hit the slow VPU path.
             acc_t_ref[sb, :] = jnp.full((p_sub,), -1.0, jnp.float32)
 
-    def raster_body(slot, k, c_base, lo, hi, ridx, carry):
+    def raster_body(slot, c_base, lo, hi, ridx, carry):
         # Boundary slices are shared with neighbor tiles: mask lanes
         # whose pair index falls outside the walked range.
         lane_ok = (
@@ -1104,9 +1121,9 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
 
             def form(r):
                 return (
-                    px * scratch_ref[slot, k, r : r + 1, :]
-                    + py * scratch_ref[slot, k, r + 1 : r + 2, :]
-                    + scratch_ref[slot, k, r + 2 : r + 3, :]
+                    px * scratch_ref[slot, r : r + 1, :]
+                    + py * scratch_ref[slot, r + 1 : r + 2, :]
+                    + scratch_ref[slot, r + 2 : r + 3, :]
                 )  # (p_sub, 128)
 
             e0 = form(0)
@@ -1114,9 +1131,9 @@ def _run_raster_walk(walk, scratch_ref, init_ref, depth_ref, tid_ref,
             e2 = form(6)
             # Barycentric depth: rows 9-11 hold zc (see module doc).
             d = (
-                e0 * scratch_ref[slot, k, 9:10, :]
-                + e1 * scratch_ref[slot, k, 10:11, :]
-                + e2 * scratch_ref[slot, k, 11:12, :]
+                e0 * scratch_ref[slot, 9:10, :]
+                + e1 * scratch_ref[slot, 10:11, :]
+                + e2 * scratch_ref[slot, 11:12, :]
             )
             esum = e0 + e1 + e2
             inside = (
@@ -1289,7 +1306,7 @@ def rasterize_pairs(
             pl.BlockSpec((tile_h, 128), tile_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, _walk_step(pairs.records.shape[0]),
+            pltpu.VMEM((N_SLOTS * _walk_step(pairs.records.shape[0]),
                         pairs.records.shape[1], 128), jnp.float32),
             pltpu.SemaphoreType.DMA((N_SLOTS,)),
             pltpu.VMEM(_acc_shape(tile_h, tile_w, sub_rows, winner, cols),
@@ -1470,7 +1487,7 @@ def _pair_fused_kernel(
         + ((12,) if has_combo else ()) \
         + tuple(range(base_r, base_r + 3 * corner_w))
 
-    def attr_body(slot, k, c_base, lo, hi, ridx, carry):
+    def attr_body(slot, c_base, lo, hi, ridx, carry):
         rel = w - c_base
         hit = (w >= lo) & (w < hi) & (rel >= 0) & (rel < 128)
         relc = jnp.clip(rel, 0, 127)
@@ -1499,7 +1516,7 @@ def _pair_fused_kernel(
                         # operands with taller indices ("Only 2D gather
                         # is supported" — probed round 4).
                         row = jnp.broadcast_to(
-                            scratch_ref[slot, k, c : c + 1, :],
+                            scratch_ref[slot, c : c + 1, :],
                             (gate_h, 128)
                         )
                         g = jnp.take_along_axis(row, relg, axis=1)
@@ -1715,7 +1732,7 @@ def rasterize_pairs_fused(
             pl.BlockSpec((ATTR_CH, tile_h, 128), attr_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_SLOTS, _walk_step(pairs.records.shape[0]),
+            pltpu.VMEM((N_SLOTS * _walk_step(pairs.records.shape[0]),
                         rec_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((N_SLOTS,)),
             pltpu.VMEM((rec_rows, tile_h, 128), jnp.float32),

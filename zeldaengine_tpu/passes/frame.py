@@ -114,7 +114,8 @@ def _raster_vis(setup, height, width, config: EngineConfig, init_depth=None,
                             align=config.pair_align,
                             ysort_sub_rows=ysr,
                             gather_chunks=config.pair_gather_chunks,
-                            gather_pack=config.pair_gather_pack)
+                            gather_pack=config.pair_gather_pack,
+                            center_cull=config.subpixel_cull)
         if cidx is not None:
             pairs = remap_pair_tri(pairs, cidx, orig_t)
         depth, tid = rasterize_pairs(
@@ -155,7 +156,8 @@ def _maybe_compact(setup, extra, config: EngineConfig):
             config.compact_tris >= setup.edge.shape[0]:
         return setup, extra, None, jnp.int32(0)
     s2, e2, idx, ovf = compact_setup(setup, config.compact_tris,
-                                     extra=extra)
+                                     extra=extra,
+                                     center_cull=config.subpixel_cull)
     return s2, e2, idx, ovf
 
 
@@ -244,7 +246,8 @@ def _raster_vis_fused(setup, extra, height, width, config: EngineConfig,
                         align=config.pair_align,
                         ysort_sub_rows=ysr,
                         gather_chunks=config.pair_gather_chunks,
-                        gather_pack=config.pair_gather_pack)
+                        gather_pack=config.pair_gather_pack,
+                        center_cull=config.subpixel_cull)
     if cidx is not None:
         pairs = remap_pair_tri(pairs, cidx, orig_t)
     depth, tid, planes = rasterize_pairs_fused(
@@ -299,7 +302,8 @@ def _raster_depth(setup, dim, config: EngineConfig, y0=0,
                             align=config.pair_align,
                             ysort_sub_rows=ysr,
                             gather_chunks=config.pair_gather_chunks,
-                            gather_pack=config.pair_gather_pack)
+                            gather_pack=config.pair_gather_pack,
+                            center_cull=config.subpixel_cull)
         return rasterize_pairs(
             pairs, height, dim, tile_h=s_th, tile_w=s_tw,
             sub_rows=config.sub_rows, depth_only=True, y0_tiles=y0_tiles,
