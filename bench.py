@@ -273,12 +273,20 @@ def main() -> None:
                               # shadow casters are tiny in the 512px
                               # light view too: expand=2 measured -3 ms
                               pair_expand_shadow=2,
-                              compact_tris=512 * 1024,
-                              compact_tris_shadow=640 * 1024,
+                              # Caps sized to MEASURED live counts under
+                              # the sub-pixel cull (tools/c4_live_counts:
+                              # camera 338k pairs, shadow 55k — at 512^2
+                              # ~90% of casters cover no texel center);
+                              # the record gathers are needle-count =
+                              # CAP, so right-sized caps are the round-5
+                              # c4 lever. Headroom ~1.15x cam / ~2.3x
+                              # shadow (light rolls during the bench).
+                              compact_tris=384 * 1024,
+                              compact_tris_shadow=192 * 1024,
                               shadow_cone_cull=True,
                               subpixel_cull=True,
-                              max_pairs=512 * 1024,
-                              max_pairs_shadow=640 * 1024)
+                              max_pairs=384 * 1024,
+                              max_pairs_shadow=128 * 1024)
         from zeldaengine_tpu.meshlet import build_meshlets
         from zeldaengine_tpu.scene.mesh import make_sphere
 

@@ -155,7 +155,7 @@ def test_compact_setup_matches_uncompacted(rng):
         & _covers_pixel_center(setup.bbox)  # round-5 sub-pixel cull
     ).sum())
     cap = live + 8
-    s2, _, idx, ovf = compact_setup(setup, cap)
+    s2, _, idx, ovf = compact_setup(setup, cap, center_cull=True)
     assert int(ovf) == 0
     pairs1 = build_pairs(s2, W, H, TILE_H, TILE_W)
     pairs1 = remap_pair_tri(pairs1, idx, 300)
@@ -167,7 +167,8 @@ def test_compact_setup_matches_uncompacted(rng):
     assert (t1a != t0a).mean() < 0.005
 
     # Too-small cap: deterministic overflow is counted.
-    _, _, _, ovf2 = compact_setup(setup, max(8, live // 2))
+    _, _, _, ovf2 = compact_setup(setup, max(8, live // 2),
+                                  center_cull=True)
     assert int(ovf2) == live - max(8, live // 2)
 
 

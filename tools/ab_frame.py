@@ -268,6 +268,32 @@ VARIANTS = {
     # sized to the post-cull count (cone cull kills ~half the sphere
     # meshlets), live-pair caps, tile shapes. Run with --scene c4.
     "c4_base": {},
+    # Round-5 c4 resolve attribution (the right-sized-caps config is the
+    # _scenes.py default; these ablate the non-raster passes).
+    **{
+        f"c4_{k}": v
+        for k, v in {
+            "nopcf": {"ablate": "nopcf"},
+            "nolight": {"ablate": "nolight"},
+            "notex": {"ablate": "notex"},
+            "nosky": {"ablate": "nosky"},
+            "noswitch": {"ablate": "noswitch"},
+            "noattrs": {"ablate": "noattrs,nopcf,nolight,notex,noswitch"},
+            "noshadow": {"enable_shadow": False},
+            "pcffix0": {"pcf_fallback_cap": 0},
+            "pcfpacked": {"pcf_backend": "packed"},
+            "pcfhalf": {"pcf_backend": "half"},
+            "win24": {"pcf_vmem_rows": 24},
+            "win16": {"pcf_vmem_rows": 16},
+            "pcfy4": {"pcf_backend": "packed_y4"},
+            "pcfy8": {"pcf_backend": "packed_y8"},
+            "pcfcoords": {"ablate": "pcfcoords"},
+            "bare": {"ablate": "nopcf,nolight,notex,noswitch,nosky",
+                     "enable_shadow": False},
+            "pcfy4fix0": {"pcf_backend": "packed_y4",
+                          "pcf_fallback_cap": 0},
+        }.items()
+    },
     "c4_cap": {"max_pairs": 512 * 1024, "max_pairs_shadow": 256 * 1024},
     "c4_compact": {"compact_tris": 512 * 1024,
                    "max_pairs": 512 * 1024,
@@ -300,6 +326,8 @@ VARIANTS = {
             "pb120": {"point_block_h": 120},
             "pcffix0": {"pcf_fallback_cap": 0},
             "pcfcoords": {"ablate": "pcfcoords"},
+            "bare": {"ablate": "nopcf,nolight,notex,noswitch,nosky",
+                     "enable_shadow": False},
         }.items()
     },
     "vm_norefl": {"raster": "fused", "pcf_backend": "vmem",

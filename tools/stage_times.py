@@ -62,6 +62,7 @@ def main():
     ap.add_argument("--cap_pairs", type=int, default=0)
     ap.add_argument("--tile_h", type=int, default=0)
     ap.add_argument("--tile_w", type=int, default=0)
+    ap.add_argument("--sub_rows", type=int, default=0)
     ap.add_argument("--zsort", type=int, default=1,
                     help="front-to-back pair ordering (build_pairs sort_z)")
     ap.add_argument("--eo", type=int, default=0,
@@ -126,6 +127,8 @@ def main():
         config = config.replace(tile_h=args.tile_h)
     if args.tile_w:
         config = config.replace(tile_w=args.tile_w)
+    if args.sub_rows:
+        config = config.replace(sub_rows=args.sub_rows)
     view = build_view_state(world, config, time=0.0,
                             light_capacities=(8, 16, 8))
     ph = _pad_up(config.height, config.tile_h)
@@ -316,6 +319,58 @@ def main():
             ms, comp = steady_ms(make_scan(cext_fn), frames=args.frames)
         elif name == "shsetup":
             ms, comp = steady_ms(make_scan(shsetup_fn), frames=args.frames)
+        elif name == "gbuf":
+            # vertex + prep + fused kernel + surface attributes + pack:
+            # everything bare-frame up to the GBuffer (isolates the
+            # attrs/pack/tid chain the kernel stages DCE).
+            def body(scene, view, dt, _=None):
+                from zeldaengine_tpu.passes.frame import (
+                    _fused_flags, _raster_vis_fused)
+                from zeldaengine_tpu.passes.gbuffer import (
+                    pack_gbuffer, surface_attributes_from_planes)
+
+                setup, world_p, n_world = vertex_setup(scene, view, dt)
+                f_uv, f_combo, _c = _fused_flags(meta)
+                from zeldaengine_tpu.passes.frame import _fused_extra
+                depth, tid, planes, ovf = _raster_vis_fused(
+                    setup,
+                    lambda cidx: _fused_extra(scene, setup, world_p,
+                                              n_world, tri_idx=cidx,
+                                              need_uv=f_uv,
+                                              need_combo=f_combo),
+                    config.height, config.width, config, meta=meta)
+                attrs = surface_attributes_from_planes(
+                    scene, planes, config, var_ch=meta.tex_channels)
+                gbuf = pack_gbuffer(attrs, depth)
+                return (jnp.sum(gbuf.gbuffer_a) + jnp.sum(gbuf.gbuffer_d)
+                        + jnp.sum(gbuf.depth) + jnp.sum(tid)
+                        + jnp.sum(gbuf.scene_color))
+
+            ms, comp = steady_ms(make_scan(body), frames=args.frames)
+        elif name == "gbuf_notid":
+            def body(scene, view, dt, _=None):
+                from zeldaengine_tpu.passes.frame import (
+                    _fused_flags, _raster_vis_fused, _fused_extra)
+                from zeldaengine_tpu.passes.gbuffer import (
+                    pack_gbuffer, surface_attributes_from_planes)
+
+                setup, world_p, n_world = vertex_setup(scene, view, dt)
+                f_uv, f_combo, _c = _fused_flags(meta)
+                depth, tid, planes, ovf = _raster_vis_fused(
+                    setup,
+                    lambda cidx: _fused_extra(scene, setup, world_p,
+                                              n_world, tri_idx=cidx,
+                                              need_uv=f_uv,
+                                              need_combo=f_combo),
+                    config.height, config.width, config, meta=meta)
+                attrs = surface_attributes_from_planes(
+                    scene, planes, config, var_ch=meta.tex_channels)
+                gbuf = pack_gbuffer(attrs, depth)
+                return (jnp.sum(gbuf.gbuffer_a) + jnp.sum(gbuf.gbuffer_d)
+                        + jnp.sum(gbuf.depth)
+                        + jnp.sum(gbuf.scene_color))
+
+            ms, comp = steady_ms(make_scan(body), frames=args.frames)
         elif name == "kernel":
             def body(scene, view, dt, _=None):
                 setup, world_p, n_world = vertex_setup(scene, view, 0.0)
