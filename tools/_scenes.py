@@ -51,9 +51,9 @@ def c4_config(base_cls, **over):
     kw = dict(width=1024, height=1024, shadowmap_dim=512,
               texture_size=128, cubemap_size=64, background_size=128,
               max_point_lights=8, pair_expand=4, pair_expand_shadow=2,
-              compact_tris=384 * 1024, compact_tris_shadow=192 * 1024,
+              compact_tris=384 * 1024, compact_tris_shadow=96 * 1024,
               shadow_cone_cull=True, subpixel_cull=True,
               max_pairs=384 * 1024,
-              max_pairs_shadow=128 * 1024)
+              max_pairs_shadow=64 * 1024)
     kw.update(over)
     return base_cls(**kw)

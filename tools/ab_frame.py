@@ -294,6 +294,10 @@ VARIANTS = {
                           "pcf_fallback_cap": 0},
         }.items()
     },
+    # Shadow caps trimmed to ~1.5x the measured 55k live shadow pairs
+    # (c4_live_counts); exactness gated by tools/c4_image_ab.
+    "c4_shtrim": {"compact_tris_shadow": 96 * 1024,
+                  "max_pairs_shadow": 64 * 1024},
     "c4_cap": {"max_pairs": 512 * 1024, "max_pairs_shadow": 256 * 1024},
     "c4_compact": {"compact_tris": 512 * 1024,
                    "max_pairs": 512 * 1024,

@@ -272,13 +272,30 @@ def compute_pcf_vmem(shadowmap: jnp.ndarray, shadow_coord: jnp.ndarray,
                 (_BLK_H, _BLK_W, 4)))(bi, bj)
             ref = compute_pcf(shadowmap, blocks, radius=radius,
                               scale=scale, bias=bias) * count
-
-            def body(k, tot):
-                upd = jax.lax.dynamic_update_slice(
-                    tot, ref[k], (bi[k] * _BLK_H, bj[k] * _BLK_W))
-                return jnp.where(ok[k], upd, tot)
-
-            return jax.lax.fori_loop(0, cap, body, total)
+            # Apply all fixed blocks at once as a one-hot MXU matmul
+            # (view the frame as (ph * n_bx, _BLK_W) rows; block (i, j)
+            # row r lives at (i*_BLK_H + r)*n_bx + j). The previous
+            # per-block fori_loop of dynamic_update_slice was ``cap``
+            # serialized control-flow barriers — measured 12 ms of the
+            # c4 frame with ~10 unfit blocks; a row scatter SIGABRTs
+            # the TPU compiler at these shapes, so the update rides the
+            # MXU instead: onehot (rows, cap*_BLK_H) @ ref — exact
+            # selection (idxs are unique, so each output row has at
+            # most ONE nonzero term; 1.0 is bf16-exact and HIGHEST
+            # precision accumulates the f32 value exactly). Dead slots
+            # point past the last row and match nothing.
+            rr = ((bi[:, None] * _BLK_H
+                   + jnp.arange(_BLK_H, dtype=jnp.int32)[None, :])
+                  * n_bx + bj[:, None])
+            rr = jnp.where(ok[:, None], rr, ph * n_bx).reshape(-1)
+            n_rows = ph * n_bx
+            rowid = jnp.arange(n_rows, dtype=jnp.int32)
+            onehot = (rowid[:, None] == rr[None, :]).astype(jnp.float32)
+            upd = jnp.dot(onehot, ref.reshape(cap * _BLK_H, _BLK_W),
+                          precision=jax.lax.Precision.HIGHEST)
+            hit = jnp.max(onehot, axis=1, keepdims=True) > 0.0
+            rows = total.reshape(n_rows, _BLK_W)
+            return jnp.where(hit, upd, rows).reshape(ph, pw)
 
         return fixup
 
