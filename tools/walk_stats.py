@@ -33,21 +33,34 @@ sys.path.insert(0, "tools")
 OPS_PER_EVAL = 25
 
 
-def vpu_micro(n_ops: int = 64, steps: int = 2048, reps: int = 5):
-    """Measured element-ops/s for a chained-FMA Pallas kernel at the
-    walk's native (256, 128) f32 shape — the empirical VPU peak for
-    the walk's op mix (FMA chains with no cross-lane traffic)."""
+def vpu_micro(n_ops: int = 64, steps: int = 2048, reps: int = 5,
+              chains: int = 8):
+    """Measured element-ops/s for an FMA Pallas kernel at the walk's
+    native (256, 128) f32 shape — the empirical VPU peak for the
+    walk's op mix (FMAs with no cross-lane traffic).
+
+    ``chains`` independent accumulators interleave so the measurement
+    is THROUGHPUT-bound, not FMA-latency-bound: a single dependency
+    chain measured 139 Gops/s while the real walk (whose ~25 ops per
+    candidate include independent edge forms) achieves 1.86 Tops/s —
+    the single-chain number is the pipeline's latency floor, not its
+    speed of light. The walk body has ~3-way ILP (3 edge forms), so
+    the honest bracket is [chains=3, chains=8]."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     def kernel(a_ref, o_ref):
         a = a_ref[...]
-        x = a * 1.000001 + 0.3
-        # n_ops chained FMAs; the dependency chain prevents folding.
+        xs = [a * (1.0 + 1e-6 * k) + 0.3 for k in range(chains)]
+        # n_ops FMAs per element per chain; chains are independent so
+        # the VPU can pipeline them.
         for _ in range(n_ops - 1):
-            x = x * 1.000001 + 0.3
-        o_ref[...] = x
+            xs = [x * 1.000001 + 0.3 for x in xs]
+        o = xs[0]
+        for x in xs[1:]:
+            o = o + x
+        o_ref[...] = o
 
     a = jnp.ones((steps * 256, 128), jnp.float32)
     f = pl.pallas_call(
@@ -65,7 +78,7 @@ def vpu_micro(n_ops: int = 64, steps: int = 2048, reps: int = 5):
         jf(a).block_until_ready()
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts))
-    total_ops = steps * 256 * 128 * n_ops
+    total_ops = steps * 256 * 128 * n_ops * chains
     return total_ops / dt
 
 
@@ -228,8 +241,11 @@ def main():
             visits += v
 
     elem_ops = visits * p_sub * 128 * OPS_PER_EVAL
-    peak = vpu_micro()
+    peak1 = vpu_micro(chains=1)   # latency floor (serial chain)
+    peak3 = vpu_micro(chains=3)   # walk's own ILP (3 edge forms)
+    peak = vpu_micro(chains=8)    # throughput ceiling
     floor_ms = elem_ops / peak * 1e3
+    floor3_ms = elem_ops / peak3 * 1e3
     n_pairs = int((ends - starts).sum() + (sends - sstarts).sum()
                   + (gb[1] - gb[0]))
     print(json.dumps({
@@ -241,7 +257,10 @@ def main():
         "p_sub": p_sub,
         "ops_per_eval": OPS_PER_EVAL,
         "elem_ops_phase1": int(elem_ops),
-        "vpu_measured_ops_per_s": peak,
+        "vpu_ops_per_s_chain1": peak1,
+        "vpu_ops_per_s_chain3": peak3,
+        "vpu_ops_per_s_chain8": peak,
+        "phase1_floor_ms_ilp3": round(floor3_ms, 2),
         "phase1_vpu_floor_ms": round(floor_ms, 2),
         "dma_bytes": int(slices_total * records.shape[1] * 128 * 4),
     }))
