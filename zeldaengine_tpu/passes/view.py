@@ -8,10 +8,12 @@ debug view never recompiles.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from zeldaengine_tpu.config import EngineConfig
@@ -42,6 +44,28 @@ class ViewState(NamedTuple):
     # XkGlobalConstants push-constant overrides (ZeldaEngine.cpp:903-919):
     # basecolor, metallic, specular, roughness multipliers (1.0 = off).
     overrides: jnp.ndarray  # (4,)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _view_matrices(eye, center, light_pos, fov_r, aspect, z_near, z_far,
+                   roll_stage):
+    """One compiled dispatch for the frame's three matrices.
+
+    Host profile (round 5): the eager version of this math was ~60 tiny
+    dispatches costing 64 ms/frame on the host — the entire config-5
+    tick gap. fov/aspect/near/far are STATIC so the Python-float scalar
+    arithmetic inside ``perspective`` (and its rounding) is preserved
+    bit-for-bit; only the camera/light vectors and the stage roll are
+    traced. Recompiles only on resize/fov change."""
+    up = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    cam_view = look_at(eye, center, up)
+    cam_proj = perspective_vk(fov_r, aspect, z_near, z_far)
+    view_proj = matmul_f32(cam_proj, cam_view)
+    shadow_view = look_at(light_pos, jnp.zeros(3, jnp.float32), up)
+    shadow_proj = perspective_vk(fov_r, 1.0, z_near, z_far)
+    shadow_space = matmul_f32(shadow_proj, shadow_view)
+    model = rotate_z(jnp.asarray(roll_stage, jnp.float32))
+    return view_proj, shadow_space, model
 
 
 def pack_lights(lights: Sequence[LightDesc], capacity: int) -> np.ndarray:
@@ -75,19 +99,16 @@ def build_view_state(
     aspect = config.width / config.height
     fov_r = math.radians(cam.fov)
 
-    cam_view = look_at(cam.position, cam.lookat, np.array([0.0, 0.0, 1.0]))
-    cam_proj = perspective_vk(fov_r, aspect, cam.z_near, cam.z_far)
-    view_proj = matmul_f32(cam_proj, cam_view)
-
     if world.directional_lights:
         light_pos = np.asarray(world.directional_lights[0].position, np.float32)
     else:
         light_pos = np.array([20.0, 0.0, 20.0], np.float32)
-    shadow_view = look_at(light_pos, np.zeros(3), np.array([0.0, 0.0, 1.0]))
-    shadow_proj = perspective_vk(fov_r, 1.0, cam.z_near, cam.z_far)
-    shadow_space = matmul_f32(shadow_proj, shadow_view)
-
-    model = rotate_z(jnp.float32(roll_stage))
+    view_proj, shadow_space, model = _view_matrices(
+        np.asarray(cam.position, np.float32),
+        np.asarray(cam.lookat, np.float32),
+        light_pos, fov_r, aspect, cam.z_near, cam.z_far,
+        np.float32(roll_stage),
+    )
 
     if light_capacities is not None:
         caps = light_capacities
@@ -139,24 +160,27 @@ def build_view_state(
         np.int32,
     )
 
+    # Small leaves stay HOST NumPy: jit converts them at call time, so
+    # eager per-field device puts (one tunneled dispatch each on the
+    # axon backend) disappear from the tick (round-5 config-5 profile).
     return ViewState(
         view_proj=view_proj,
         shadow_space=shadow_space,
         model=model,
-        camera_pos=jnp.asarray(cam.position, jnp.float32),
-        camera_fov=jnp.float32(cam.fov),
-        viewport=jnp.asarray(
-            [config.width, config.height, right_bar, bottom_bar], jnp.float32
+        camera_pos=np.asarray(cam.position, np.float32),
+        camera_fov=np.float32(cam.fov),
+        viewport=np.asarray(
+            [config.width, config.height, right_bar, bottom_bar], np.float32
         ),
-        dir_lights=jnp.asarray(dir_arr),
-        point_lights=jnp.asarray(point_arr),
-        spot_lights=jnp.asarray(spot_arr),
-        lights_count=jnp.asarray(counts),
-        time=jnp.float32(time),
-        z_near=jnp.float32(cam.z_near),
-        z_far=jnp.float32(cam.z_far),
-        debug_view=jnp.int32(debug_view),
-        overrides=jnp.asarray(
+        dir_lights=dir_arr,
+        point_lights=point_arr,
+        spot_lights=spot_arr,
+        lights_count=counts,
+        time=np.float32(time),
+        z_near=np.float32(cam.z_near),
+        z_far=np.float32(cam.z_far),
+        debug_view=np.int32(debug_view),
+        overrides=(
             np.ones(4, np.float32) if overrides is None
             else np.asarray(overrides, np.float32)
         ),
